@@ -1,0 +1,435 @@
+"""Generic MNA circuit solver — netlist → DK-method per-sample step.
+
+This is the TPU-native replacement for the reference's melange codegen
+(spice/melange/*.cir → generated Rust solvers): a netlist is assembled into
+fixed MNA matrices at setup time (NumPy f64), and the per-sample solve runs
+as a pure jnp step — trapezoidal or backward-Euler companion integration
+with Newton-Raphson on the M-dimensional nonlinear kernel K = N_v S N_i.
+Batched over engine instances; device Jacobians come from jax.jacfwd, so
+the Gummel-Poon model has no hand-derived derivative code to get wrong.
+
+Supported devices: resistors, capacitors, DC voltage sources (with runtime
+offsets, e.g. power-amp rail sag), an input voltage source, NPN/PNP BJTs
+(DC Gummel-Poon: NF/NR emission, Early, high-injection, leakage diodes,
+finite BR; ohmic RB/RE/RC and junction caps approximated — constant-value
+junction caps are stamped as linear capacitors, ohmics omitted as in the
+reference's generated solvers), and junction diodes.
+
+Reference behaviours mirrored: NR warm start from the previous sample's
+currents, fixed max iterations with convergence masking, NaN reset to the
+DC operating point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+VT_300K = 0.02585126075417566  # kT/q at 300.15 K (SPICE default 27 °C)
+
+
+@dataclasses.dataclass
+class BjtModel:
+    """Gummel-Poon parameters (SPICE .model card subset)."""
+
+    is_: float = 1e-14
+    bf: float = 100.0
+    nf: float = 1.0
+    vaf: float = float("inf")
+    ikf: float = float("inf")
+    ise: float = 0.0
+    ne: float = 1.5
+    br: float = 1.0
+    nr: float = 1.0
+    var: float = float("inf")
+    ikr: float = float("inf")
+    isc: float = 0.0
+    nc: float = 2.0
+    cje: float = 0.0
+    cjc: float = 0.0
+    vt: float = VT_300K
+
+
+@dataclasses.dataclass
+class DiodeModel:
+    is_: float = 1e-14
+    n: float = 1.0
+    cj0: float = 0.0
+    vt: float = VT_300K
+
+
+def _limexp(x):
+    """Linearised exponential beyond x=40 — SPICE-style NR safeguard."""
+    xc = 40.0
+    return jnp.where(x < xc, jnp.exp(jnp.minimum(x, xc)),
+                     jnp.exp(xc) * (1.0 + (x - xc)))
+
+
+def bjt_currents(model: BjtModel, vbe, vbc):
+    """DC Gummel-Poon: port voltages (vbe, vbc) → (ib, ic), NPN convention."""
+    nf_vt = model.nf * model.vt
+    nr_vt = model.nr * model.vt
+    i_f = model.is_ * (_limexp(vbe / nf_vt) - 1.0)
+    i_r = model.is_ * (_limexp(vbc / nr_vt) - 1.0)
+
+    inv_vaf = 0.0 if np.isinf(model.vaf) else 1.0 / model.vaf
+    inv_var = 0.0 if np.isinf(model.var) else 1.0 / model.var
+    q1_den = jnp.clip(1.0 - vbc * inv_vaf - vbe * inv_var, 1e-4, None)
+    q1 = 1.0 / q1_den
+
+    inv_ikf = 0.0 if np.isinf(model.ikf) else 1.0 / model.ikf
+    inv_ikr = 0.0 if np.isinf(model.ikr) else 1.0 / model.ikr
+    q2 = i_f * inv_ikf + i_r * inv_ikr
+    qb = q1 * 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * jnp.maximum(q2, 0.0)))
+
+    ict = (i_f - i_r) / qb
+    ibe = i_f / model.bf + model.ise * (_limexp(vbe / (model.ne * model.vt)) - 1.0)
+    ibc = i_r / model.br + model.isc * (_limexp(vbc / (model.nc * model.vt)) - 1.0)
+    ic = ict - ibc
+    ib = ibe + ibc
+    return ib, ic
+
+
+def diode_current(model: DiodeModel, vd):
+    return model.is_ * (_limexp(vd / (model.n * model.vt)) - 1.0)
+
+
+class Netlist:
+    """Circuit builder. Node names are strings; '0' is ground."""
+
+    def __init__(self):
+        self.resistors = []  # (n1, n2, ohms)
+        self.capacitors = []  # (n1, n2, farads)
+        self.vsources = []  # (name, n_plus, n_minus, volts)
+        self.bjts = []  # (name, nc, nb, ne, BjtModel, sign)  sign=+1 NPN
+        self.diodes = []  # (name, n_plus, n_minus, DiodeModel)
+        self.input_node = None
+        self._nodes = {}
+
+    def _node(self, name):
+        if name in ("0", 0, "gnd", "GND"):
+            return -1
+        if name not in self._nodes:
+            self._nodes[name] = len(self._nodes)
+        return self._nodes[name]
+
+    def r(self, n1, n2, ohms):
+        self.resistors.append((self._node(n1), self._node(n2), float(ohms)))
+
+    def c(self, n1, n2, farads):
+        self.capacitors.append((self._node(n1), self._node(n2), float(farads)))
+
+    def v(self, name, np_, nm, volts):
+        self.vsources.append((name, self._node(np_), self._node(nm), float(volts)))
+
+    def bjt(self, name, nc, nb, ne, model: BjtModel, pnp=False):
+        self.bjts.append((name, self._node(nc), self._node(nb), self._node(ne),
+                          model, -1.0 if pnp else 1.0))
+        # Constant-value junction caps (zero-bias CJE/CJC) as linear caps.
+        if model.cje:
+            self.capacitors.append((self._node(nb), self._node(ne), model.cje))
+        if model.cjc:
+            self.capacitors.append((self._node(nb), self._node(nc), model.cjc))
+
+    def diode(self, name, np_, nm, model: DiodeModel):
+        self.diodes.append((name, self._node(np_), self._node(nm), model))
+        if model.cj0:
+            self.capacitors.append((self._node(np_), self._node(nm), model.cj0))
+
+    def set_input(self, node):
+        """Drive `node` with the per-sample input via an ideal source row."""
+        self.input_node = self._node(node)
+
+    # ── assembly ─────────────────────────────────────────────────────────
+
+    @property
+    def n_nodes(self):
+        return len(self._nodes)
+
+    def dims(self):
+        n_vs = len(self.vsources) + (1 if self.input_node is not None else 0)
+        n = self.n_nodes + n_vs
+        m = 2 * len(self.bjts) + len(self.diodes)
+        return n, m
+
+    def assemble(self):
+        """Build G, C, w, N_v, N_i, runtime-source row map (all NumPy f64)."""
+        n, m = self.dims()
+        nn = self.n_nodes
+        g = np.zeros((n, n))
+        c_mat = np.zeros((n, n))
+        w = np.zeros(n)
+
+        def stamp2(mat, i, j, val):
+            if i >= 0:
+                mat[i, i] += val
+            if j >= 0:
+                mat[j, j] += val
+            if i >= 0 and j >= 0:
+                mat[i, j] -= val
+                mat[j, i] -= val
+
+        for n1, n2, ohms in self.resistors:
+            stamp2(g, n1, n2, 1.0 / ohms)
+        for n1, n2, farads in self.capacitors:
+            stamp2(c_mat, n1, n2, farads)
+
+        vsrc_rows = {}
+        row = nn
+        for name, np_, nm_, volts in self.vsources:
+            if np_ >= 0:
+                g[np_, row] += 1.0
+                g[row, np_] += 1.0
+            if nm_ >= 0:
+                g[nm_, row] -= 1.0
+                g[row, nm_] -= 1.0
+            w[row] = volts
+            vsrc_rows[name] = row
+            row += 1
+        input_row = None
+        if self.input_node is not None:
+            g[self.input_node, row] += 1.0
+            g[row, self.input_node] += 1.0
+            input_row = row
+            row += 1
+
+        # Nonlinear ports
+        n_v = np.zeros((m, n))
+        n_i = np.zeros((n, m))
+        port = 0
+        for _, nc_, nb_, ne_, model, sign in self.bjts:
+            # ports: (vbe, vbc); currents: (ib, ic) in NPN convention
+            for node, val in ((nb_, sign), (ne_, -sign)):
+                if node >= 0:
+                    n_v[port, node] += val
+            for node, val in ((nb_, sign), (nc_, -sign)):
+                if node >= 0:
+                    n_v[port + 1, node] += val
+            # ib injection: out of base, into emitter
+            for node, val in ((nb_, -sign), (ne_, sign)):
+                if node >= 0:
+                    n_i[node, port] += val
+            # ic injection: out of collector, into emitter
+            for node, val in ((nc_, -sign), (ne_, sign)):
+                if node >= 0:
+                    n_i[node, port + 1] += val
+            port += 2
+        for _, np_, nm_, model in self.diodes:
+            for node, val in ((np_, 1.0), (nm_, -1.0)):
+                if node >= 0:
+                    n_v[port, node] += val
+            for node, val in ((np_, -1.0), (nm_, 1.0)):
+                if node >= 0:
+                    n_i[node, port] += val
+            port += 1
+
+        return dict(g=g, c=c_mat, w=w, n_v=n_v, n_i=n_i,
+                    vsrc_rows=vsrc_rows, input_row=input_row, n=n, m=m)
+
+    def device_current_fn(self):
+        """Returns f(v_nl (..., M)) → i_nl (..., M), pure jnp."""
+        bjts = list(self.bjts)
+        diodes = list(self.diodes)
+
+        def fn(v_nl):
+            outs = []
+            p = 0
+            for _, _, _, _, model, _sign in bjts:
+                ib, ic = bjt_currents(model, v_nl[..., p], v_nl[..., p + 1])
+                outs.extend([ib, ic])
+                p += 2
+            for _, _, _, model in diodes:
+                outs.append(diode_current(model, v_nl[..., p]))
+                p += 1
+            return jnp.stack(outs, axis=-1)
+
+        return fn
+
+
+class SolverParams(NamedTuple):
+    """Fixed per-sample-rate solver matrices (static jnp constants)."""
+
+    s: jnp.ndarray        # (n, n) inv(A); A = G + α C (α = 2/T trap, 1/T BE)
+    a_hist: jnp.ndarray   # (n, n) history: αC − G (trap) or αC (BE)
+    n_v: jnp.ndarray      # (M, n)
+    n_i: jnp.ndarray      # (n, M)
+    s_ni: jnp.ndarray     # (n, M) = S N_i
+    k: jnp.ndarray        # (M, M) = N_v S N_i
+    w: jnp.ndarray        # (n,) DC source vector
+    w_scale: jnp.ndarray  # scalar: 2.0 for trapezoidal, 1.0 for BE
+    v_dc: jnp.ndarray     # (n,) DC operating point
+    i_dc: jnp.ndarray     # (M,) device currents at DC OP
+    v_nl_dc: jnp.ndarray  # (M,) port voltages at DC OP
+    trap_i_hist: jnp.ndarray  # scalar: 1.0 (trap: rhs += N_i i_prev) or 0.0
+
+
+class SolverState(NamedTuple):
+    v: jnp.ndarray        # (..., n) previous solution
+    i_nl: jnp.ndarray     # (..., M) previous device currents
+    v_nl: jnp.ndarray     # (..., M) previous port voltages (NR warm start)
+    nr_iters: jnp.ndarray  # (...,) int32 — last solve's iteration count
+
+
+def dc_solve(netlist: Netlist, n_iter=300, clamp=0.1, source_steps=8):
+    """Nonlinear DC operating point via source-stepped, jitted NR.
+
+    Supplies ramp from a fraction to full value over `source_steps` stages,
+    warm-starting each stage — robustly biases circuits with large
+    reverse-biased junctions (e.g. the ±22 V Class AB output stage) that a
+    single cold NR with small step clamps cannot reach.
+    """
+    asm = netlist.assemble()
+    g, w, n_v, n_i = asm["g"], asm["w"], asm["n_v"], asm["n_i"]
+    n, m = asm["n"], asm["m"]
+    dev_fn = netlist.device_current_fn()
+    dev_jac = jax.jacfwd(dev_fn)
+
+    # Regularise pure-capacitor nodes (no DC path): tiny gmin to ground.
+    g_reg = g + np.eye(n) * 1e-12
+    s_dc = np.linalg.inv(g_reg)
+    k_dc = jnp.asarray(n_v @ s_dc @ n_i)
+    p_full = jnp.asarray(n_v @ (s_dc @ w))
+    eye_m = jnp.eye(m)
+
+    @jax.jit
+    def nr_stage(v_nl0, scale):
+        p = p_full * scale
+
+        def body(_, v_nl):
+            i_nl = dev_fn(v_nl)
+            f = v_nl - p - k_dc @ i_nl
+            jac = eye_m - k_dc @ dev_jac(v_nl)
+            dv = jnp.linalg.solve(jac, f)
+            # Direction-preserving trust region: scale the whole NR step so
+            # no port moves more than `clamp` volts — keeps the coupled
+            # system on the Newton direction while preventing exp blow-ups.
+            scale_tr = jnp.minimum(1.0, clamp / jnp.maximum(
+                jnp.max(jnp.abs(dv)), 1e-30))
+            return v_nl - dv * scale_tr
+
+        v_nl = jax.lax.fori_loop(0, n_iter, body, v_nl0)
+        resid = jnp.max(jnp.abs(v_nl - p - k_dc @ dev_fn(v_nl)))
+        return v_nl, resid
+
+    v_nl = jnp.zeros(m, dtype=jnp.float64)
+    for k in range(source_steps):
+        scale = (k + 1) / source_steps
+        v_nl, resid = nr_stage(v_nl, scale)
+    if float(resid) > 1e-9:
+        raise RuntimeError(f"DC solve did not converge: residual {resid}")
+
+    i_nl = np.asarray(dev_fn(v_nl))
+    v_nl = np.asarray(v_nl)
+    v_dc = s_dc @ (w + n_i @ i_nl)
+    return v_dc, i_nl, v_nl
+
+
+def make_solver_params(netlist: Netlist, sample_rate, integrator="trap",
+                       v_dc=None, i_dc=None, v_nl_dc=None) -> SolverParams:
+    """Assemble fixed matrices for a given rate + integrator."""
+    asm = netlist.assemble()
+    g, c_mat, w = asm["g"], asm["c"], asm["w"]
+    n_v, n_i = asm["n_v"], asm["n_i"]
+    t = 1.0 / float(sample_rate)
+
+    if integrator == "trap":
+        a = g + (2.0 / t) * c_mat
+        a_hist = (2.0 / t) * c_mat - g
+        w_scale, trap_i = 2.0, 1.0
+    elif integrator == "be":
+        a = g + (1.0 / t) * c_mat
+        a_hist = (1.0 / t) * c_mat
+        w_scale, trap_i = 1.0, 0.0
+    else:
+        raise ValueError(integrator)
+
+    s = np.linalg.inv(a)
+    if v_dc is None:
+        v_dc, i_dc, v_nl_dc = dc_solve(netlist)
+
+    f64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
+    return SolverParams(
+        s=f64(s), a_hist=f64(a_hist), n_v=f64(n_v), n_i=f64(n_i),
+        s_ni=f64(s @ n_i), k=f64(n_v @ s @ n_i), w=f64(w),
+        w_scale=f64(w_scale), v_dc=f64(v_dc), i_dc=f64(i_dc),
+        v_nl_dc=f64(v_nl_dc), trap_i_hist=f64(trap_i),
+    )
+
+
+def init_state(params: SolverParams, batch_shape=()) -> SolverState:
+    return SolverState(
+        v=jnp.broadcast_to(params.v_dc, batch_shape + params.v_dc.shape),
+        i_nl=jnp.broadcast_to(params.i_dc, batch_shape + params.i_dc.shape),
+        v_nl=jnp.broadcast_to(params.v_nl_dc,
+                              batch_shape + params.v_nl_dc.shape),
+        nr_iters=jnp.zeros(batch_shape, dtype=jnp.int32),
+    )
+
+
+def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
+              nr_tol=1e-9):
+    """Build the per-sample step fn for this netlist.
+
+    Returns step(state, w_extra, x) → (state, v_full):
+      w_extra: (..., n) additive source adjustments for this sample
+               (runtime rail offsets on vsrc rows, input on the input row) —
+               pass jnp.zeros(n) when unused.
+    The caller extracts output node voltages from v_full.
+    """
+    dev_fn = netlist.device_current_fn()
+    dev_jac_single = jax.jacfwd(dev_fn)
+    m = int(params.k.shape[0])
+
+    def nr_solve(p, v_nl0):
+        """Solve v_nl = p + K i(v_nl) by damped NR with early exit."""
+
+        def cond(carry):
+            v_nl, it, done = carry
+            return (~jnp.all(done)) & (it < max_iter)
+
+        def body(carry):
+            v_nl, it, done = carry
+            i_nl = dev_fn(v_nl)
+            f = v_nl - p - jnp.einsum("ij,...j->...i", params.k, i_nl)
+            jdev = dev_jac_single(v_nl) if v_nl.ndim == 1 else jax.vmap(
+                dev_jac_single)(v_nl.reshape(-1, m)).reshape(
+                    v_nl.shape + (m,))
+            jac = jnp.eye(m) - jnp.einsum("ij,...jk->...ik", params.k, jdev)
+            dv = jnp.linalg.solve(jac, f[..., None])[..., 0]
+            # Step limiting: junction voltages move ≤ 0.5 V per NR iter.
+            dv = jnp.clip(dv, -0.5, 0.5)
+            conv = jnp.max(jnp.abs(f), axis=-1) < nr_tol
+            v_nl = v_nl - jnp.where(conv[..., None] | done[..., None], 0.0, dv)
+            return v_nl, it + 1, done | conv
+
+        done0 = jnp.zeros(p.shape[:-1], dtype=bool)
+        v_nl, iters, _ = jax.lax.while_loop(cond, body, (v_nl0, 0, done0))
+        return v_nl, iters
+
+    def step(state: SolverState, w_extra, _unused_x=None):
+        rhs = jnp.einsum("ij,...j->...i", params.a_hist, state.v)
+        rhs = rhs + params.w_scale * params.w + w_extra
+        rhs = rhs + params.trap_i_hist * jnp.einsum(
+            "im,...m->...i", params.n_i, state.i_nl)
+        v_lin = jnp.einsum("ij,...j->...i", params.s, rhs)
+        p = jnp.einsum("mi,...i->...m", params.n_v, v_lin)
+        v_nl, iters = nr_solve(p, state.v_nl)
+        i_new = dev_fn(v_nl)
+        v = v_lin + jnp.einsum("im,...m->...i", params.s_ni, i_new)
+
+        # NaN guard: masked reset to DC OP.
+        bad = ~jnp.all(jnp.isfinite(v), axis=-1)
+        v = jnp.where(bad[..., None], params.v_dc, v)
+        i_new = jnp.where(bad[..., None], params.i_dc, i_new)
+        v_nl = jnp.where(bad[..., None], params.v_nl_dc, v_nl)
+
+        return SolverState(
+            v=v, i_nl=i_new, v_nl=v_nl,
+            nr_iters=jnp.broadcast_to(iters, bad.shape).astype(jnp.int32),
+        ), v
+
+    return step
