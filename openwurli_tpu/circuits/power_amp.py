@@ -208,15 +208,18 @@ def step(params: PowerAmpParams, state: PowerAmpState, x, rail_sag=True):
 
     Rail offsets from the previous sample's rail state are pushed into the
     source vector BEFORE the solve; rails update AFTER from the raw output.
+    `rail_sag` may be a python bool or a traced boolean (runtime toggle —
+    when off, rails pin at the ±22.5 V static bias, bit-compat A/B).
     """
     x = jnp.asarray(x, dtype=jnp.float64)
+    sag = jnp.asarray(rail_sag)
+    sag_f = sag.astype(jnp.float64)
     n = params.solver.w.shape[0]
     w_extra = jnp.zeros(x.shape + (n,), dtype=jnp.float64)
-    if rail_sag:
-        off_pos = state.rails.v_rail_pos - RAIL_DC_BIAS
-        off_neg = state.rails.v_rail_neg - RAIL_DC_BIAS
-        w_extra = w_extra.at[..., params.v1_row].set(off_pos)
-        w_extra = w_extra.at[..., params.v2_row].set(off_neg)
+    off_pos = (state.rails.v_rail_pos - RAIL_DC_BIAS) * sag_f
+    off_neg = (state.rails.v_rail_neg - RAIL_DC_BIAS) * sag_f
+    w_extra = w_extra.at[..., params.v1_row].set(off_pos)
+    w_extra = w_extra.at[..., params.v2_row].set(off_neg)
     w_extra = w_extra.at[..., params.input_row].set(x)
 
     circuit, v = _step_fn(params.sample_rate)(state.circuit, w_extra)
@@ -243,9 +246,11 @@ def step(params: PowerAmpParams, state: PowerAmpState, x, rail_sag=True):
     out = jnp.where(bad, state.last_good, clamped)
     last_good = jnp.where(bad, state.last_good, clamped)
 
-    rails = rails_step(params, state.rails, raw) if rail_sag else state.rails
-    rails = RailState(*[jnp.where(bad, i, r) for i, r in
-                        zip(init_rails(bad.shape), rails)]) if rail_sag else rails
+    stepped = rails_step(params, state.rails, raw)
+    clean_rails = init_rails(bad.shape)
+    rails = RailState(*[
+        jnp.where(sag, jnp.where(bad, ini, new), old)
+        for new, old, ini in zip(stepped, state.rails, clean_rails)])
 
     return PowerAmpState(circuit=circuit, rails=rails,
                          last_good=last_good), out

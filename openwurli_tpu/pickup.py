@@ -51,7 +51,10 @@ def soft_saturate(y):
     abs_y = jnp.abs(y)
     rng = PICKUP_MAX_Y - PICKUP_KNEE_Y
     sat = PICKUP_KNEE_Y + rng * jnp.tanh((abs_y - PICKUP_KNEE_Y) / rng)
-    return jnp.where(abs_y < PICKUP_KNEE_Y, y, jnp.copysign(sat, y))
+    # sign-select rather than copysign: TPU's f64-emulation rewriter does
+    # not implement the s64 bitcast that copysign's signbit lowers to.
+    signed_sat = jnp.where(y >= 0.0, sat, -sat)
+    return jnp.where(abs_y < PICKUP_KNEE_Y, y, signed_sat)
 
 
 def step(params: PickupParams, state: PickupState, x):
