@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Headline benchmark: 64-voice full-chain real-time factor per chip.
+
+Renders B independent WurliEngine instances — each sustaining the canonical
+worst-case 6-note chord across 64 voice slots with the complete analog
+chain (2× oversampled Twin-T tremolo → 8-node DK preamp with twin
+main/shadow solve → Class AB power-amp circuit solve → speaker) — as one
+batched scan on the accelerator, and reports the aggregate real-time
+factor: (B × rendered_seconds) / wall_seconds.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference implementation's own full-chain
+polyphonic render throughput (~53× realtime for render-poly, reference
+CHANGELOG.md:111, unspecified dev machine).
+
+Env knobs: BENCH_STREAMS (default 32), BENCH_SECONDS (default 0.25),
+BENCH_SAMPLE_RATE (default 44100).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+
+def _setup_platforms():
+    """Keep the session's accelerator, add a local CPU for eager setup."""
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "cpu" not in plats.split(","):
+        jax.config.update("jax_platforms", plats + ",cpu")
+
+
+def main():
+    _setup_platforms()
+    cpu = jax.devices("cpu")[0]
+    accel = jax.devices()[0]
+
+    import jax.numpy as jnp
+
+    streams = int(os.environ.get("BENCH_STREAMS", "32"))
+    seconds = float(os.environ.get("BENCH_SECONDS", "0.25"))
+    sr = float(os.environ.get("BENCH_SAMPLE_RATE", "44100"))
+    block = int(sr * seconds)
+
+    # Build engine + chord state on the local CPU (eager ops over a remote
+    # accelerator tunnel are latency-bound; setup is hundreds of small ops).
+    with jax.default_device(cpu):
+        from openwurli_tpu import engine
+
+        eng = engine.Engine(sr)
+        for note in (48, 55, 60, 63, 67, 70):
+            eng.note_on(note, 0.95)
+        state = eng.state
+
+    state = jax.device_put(state, accel)
+    stacked = jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x), (streams,)
+                                   + jnp.asarray(x).shape), state)
+
+    vrender = jax.jit(jax.vmap(lambda s: engine._render(eng, s, block)))
+
+    t0 = time.time()
+    stacked2, out = jax.block_until_ready(vrender(stacked))
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    _, out = jax.block_until_ready(vrender(stacked2))
+    wall = time.time() - t0
+
+    peak = float(jnp.abs(out).max())
+    assert peak > 0.0 and jnp.isfinite(out).all(), "bench render broken"
+
+    rtf = streams * seconds / wall
+    reference_rtf = 53.0  # render-poly 6 notes × 10 s → 1.13 s (CHANGELOG)
+    print(json.dumps({
+        "metric": "64-voice full-chain render throughput per chip",
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / reference_rtf, 2),
+    }))
+    print(f"# streams={streams} seconds={seconds} wall={wall:.3f}s "
+          f"compile={compile_s:.0f}s per_stream={rtf/streams:.1f}x "
+          f"peak={peak:.4f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,6 +69,19 @@ def _limexp(x):
                      jnp.exp(xc) * (1.0 + (x - xc)))
 
 
+def solve_f32(a, b):
+    """Mixed-precision linear solve: f32 LU factorisation, f64 interface.
+
+    TPU implements LuDecomposition only for f32/c64; Newton iteration with
+    an f32-factorised Jacobian and f64 residuals is standard iterative
+    refinement — each NR step still contracts the f64 residual, so the
+    outer loop converges to full f64 accuracy (a couple of extra
+    iterations at worst).
+    """
+    x = jnp.linalg.solve(a.astype(jnp.float32), b.astype(jnp.float32))
+    return x.astype(jnp.float64)
+
+
 def bjt_currents(model: BjtModel, vbe, vbc):
     """DC Gummel-Poon: port voltages (vbe, vbc) → (ib, ic), NPN convention."""
     nf_vt = model.nf * model.vt
@@ -303,7 +316,7 @@ def dc_solve(netlist: Netlist, n_iter=300, clamp=0.1, source_steps=8):
             i_nl = dev_fn(v_nl)
             f = v_nl - p - k_dc @ i_nl
             jac = eye_m - k_dc @ dev_jac(v_nl)
-            dv = jnp.linalg.solve(jac, f)
+            dv = solve_f32(jac, f)
             # Direction-preserving trust region: scale the whole NR step so
             # no port moves more than `clamp` volts — keeps the coupled
             # system on the Newton direction while preventing exp blow-ups.
@@ -399,7 +412,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
                 dev_jac_single)(v_nl.reshape(-1, m)).reshape(
                     v_nl.shape + (m,))
             jac = jnp.eye(m) - jnp.einsum("ij,...jk->...ik", params.k, jdev)
-            dv = jnp.linalg.solve(jac, f[..., None])[..., 0]
+            dv = solve_f32(jac, f[..., None])[..., 0]
             # Step limiting: junction voltages move ≤ 0.5 V per NR iter.
             dv = jnp.clip(dv, -0.5, 0.5)
             conv = jnp.max(jnp.abs(f), axis=-1) < nr_tol

@@ -118,13 +118,38 @@ def osc_step(params: TremoloParams, osc: mna.SolverState):
     return osc, led
 
 
+_SETTLED_CACHE_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.dirname(__file__)),
+    "data", "tremolo_settled.npz")
+
+
 @lru_cache(maxsize=None)
 def settled_osc_state(sample_rate):
     """Oscillator state at steady amplitude (cached per rate).
 
     DC OP is the unstable equilibrium — perturb the output node slightly and
     run 2 s so the Twin-T limit cycle builds up (tremolo.rs:92-102,191-216).
+
+    The 2 s settle is a ~176k-step serial scan — cheap on CPU, pathological
+    on a remote TPU, so settled states for common rates ship as package
+    data (data/tremolo_settled.npz, regenerable via
+    tools/gen_settled_states.py) and are recomputed only on a cache miss.
     """
+    import os
+
+    import numpy as np
+
+    key = f"sr{int(round(sample_rate))}"
+    if os.path.exists(_SETTLED_CACHE_PATH):
+        z = np.load(_SETTLED_CACHE_PATH)
+        if f"{key}_v" in z:
+            return mna.SolverState(
+                v=jnp.asarray(z[f"{key}_v"], dtype=jnp.float64),
+                i_nl=jnp.asarray(z[f"{key}_i"], dtype=jnp.float64),
+                v_nl=jnp.asarray(z[f"{key}_vnl"], dtype=jnp.float64),
+                nr_iters=jnp.zeros((), dtype=jnp.int32),
+            )
+
     params = make_params(sample_rate)
     osc = mna.init_state(params.solver)
     osc = osc._replace(v=osc.v.at[params.out_idx].add(1e-3))

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""A/B real-vs-model comparison — the accuracy oracle.
+
+Rebuild of the reference tools/wurli_compare.py: select best isolated notes
+from a real recording, render matching notes through the model's DI chain,
+and report per-note harmonic / decay / centroid deltas + a JSON report.
+
+    python tools/wurli_compare.py recording.wav --output report.json
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("recording")
+    p.add_argument("--output", default="/tmp/wurli_compare.json")
+    p.add_argument("--max-notes", type=int, default=12)
+    p.add_argument("--model-seconds", type=float, default=2.0)
+    args = p.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("axon"):
+        jax.config.update("jax_platforms", "axon,cpu")
+
+    import jax.numpy as jnp
+
+    from openwurli_tpu import voice
+    from openwurli_tpu.calib import harmonics, notes as notes_mod
+    from openwurli_tpu.io import wav
+
+    audio, sr = wav.read_wav(args.recording)
+    if audio.ndim > 1:
+        audio = audio.mean(axis=1)
+
+    found = notes_mod.extract_notes(audio, sr)
+    scored = notes_mod.score_isolation(found, audio, sr)
+    scored.sort(key=lambda n: -n["isolation_score"])
+    selected = scored[: args.max_notes]
+    print(f"{len(found)} notes found, comparing best {len(selected)}")
+
+    if not selected:
+        print("no usable notes")
+        return
+
+    midis = jnp.asarray([n["midi_note"] for n in selected],
+                        dtype=jnp.float64)
+    vels = jnp.asarray([max(n["velocity_norm"], 0.3) for n in selected])
+    model_audio = np.asarray(voice.render_note(
+        midis, vels, args.model_seconds, float(sr), mlp_enabled=True))
+
+    report = []
+    for k, n in enumerate(selected):
+        real = harmonics.extract_note_features(
+            audio, sr, n["f0_hz"], n["onset_s"],
+            n["offset_s"] - n["onset_s"])
+        model = harmonics.extract_note_features(
+            model_audio[:, k], sr, n["f0_hz"])
+
+        rw = np.asarray(real["windows"]["early_sustain"])
+        mw = np.asarray(model["windows"]["early_sustain"])
+        h_delta = [float(r - m) if np.isfinite(r) and np.isfinite(m)
+                   else None for r, m in zip(rw - rw[0], mw - mw[0])]
+
+        rd = harmonics.decay_rate_db_per_s(real["decay_db"],
+                                           real["decay_times"])
+        md = harmonics.decay_rate_db_per_s(model["decay_db"],
+                                           model["decay_times"])
+        cents = 1200.0 * np.log2(max(real["f0_hz"], 1e-9)
+                                 / max(model["f0_hz"], 1e-9))
+
+        entry = {
+            "midi": n["midi_note"],
+            "tier": n["tier"],
+            "f0_real": real["f0_hz"],
+            "f0_model": model["f0_hz"],
+            "f0_cents_delta": float(cents),
+            "harmonic_rel_delta_db": h_delta,
+            "decay_real_db_s": rd,
+            "decay_model_db_s": md,
+            "centroid_real_hz": real["centroid_sustain_hz"],
+            "centroid_model_hz": model["centroid_sustain_hz"],
+        }
+        report.append(entry)
+        h2 = h_delta[1] if len(h_delta) > 1 and h_delta[1] is not None else 0
+        print(f"  MIDI {n['midi_note']:3d} [{n['tier']:6s}] "
+              f"Δf0 {cents:+6.1f}c  ΔH2/H1 {h2:+5.1f} dB  "
+              f"decay {rd:.1f} vs {md:.1f} dB/s")
+
+    with open(args.output, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"→ {args.output}")
+
+
+if __name__ == "__main__":
+    main()
