@@ -349,14 +349,23 @@ def make_solver_params(netlist: Netlist, sample_rate, integrator="trap",
     n_v, n_i = asm["n_v"], asm["n_i"]
     t = 1.0 / float(sample_rate)
 
+    n_nodes = netlist.n_nodes
     if integrator == "trap":
         a = g + (2.0 / t) * c_mat
         a_hist = (2.0 / t) * c_mat - g
-        w_scale, trap_i = 2.0, 1.0
+        # Algebraic rows (voltage-source constraints, rows >= n_nodes) have
+        # no C entries; giving them trapezoidal history would create a
+        # marginally-stable alternating mode (v[n] = 2V - v[n-1]). Enforce
+        # them instantaneously instead: no history, w scale 1.
+        a_hist[n_nodes:, :] = 0.0
+        w_scale = np.full(a.shape[0], 2.0)
+        w_scale[n_nodes:] = 1.0
+        trap_i = 1.0
     elif integrator == "be":
         a = g + (1.0 / t) * c_mat
         a_hist = (1.0 / t) * c_mat
-        w_scale, trap_i = 1.0, 0.0
+        w_scale = np.ones(a.shape[0])
+        trap_i = 0.0
     else:
         raise ValueError(integrator)
 

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from openwurli_tpu import tables, voice
-from openwurli_tpu.circuits import dk_preamp, power_amp, speaker, tremolo
+from openwurli_tpu.circuits import (dk_preamp, melange_preamp, power_amp,
+                                    speaker, tremolo)
 from openwurli_tpu.ops import allpass
 
 MAX_VOICES = 64
@@ -104,6 +105,8 @@ class EngineState(NamedTuple):
     sustain_held: jnp.ndarray  # () bool
     mlp_enabled: jnp.ndarray  # () bool
     rail_sag: jnp.ndarray  # () bool
+    noise_enabled: jnp.ndarray  # () bool (melange preamp only)
+    noise_gain: jnp.ndarray  # () f64
     nan_guard_fires: jnp.ndarray  # () int64
 
 
@@ -115,14 +118,19 @@ class Engine:
     tools can vmap/shard whole engines.
     """
 
-    def __init__(self, sample_rate: float):
+    def __init__(self, sample_rate: float, preamp_model: str = "dk"):
+        assert preamp_model in ("dk", "melange"), preamp_model
         self.sample_rate = float(sample_rate)
+        self.preamp_model = preamp_model
         self.oversample = self.sample_rate < 88_200.0
         self.os_sample_rate = (self.sample_rate * 2.0 if self.oversample
                                else self.sample_rate)
         self.ramp_samples = max(int(self.sample_rate * SMOOTH_S), 1)
+        preamp_params = (dk_preamp.make_params(self.os_sample_rate)
+                         if preamp_model == "dk"
+                         else melange_preamp.make_params(self.os_sample_rate))
         self.params = EngineParams(
-            preamp=dk_preamp.make_params(self.os_sample_rate),
+            preamp=preamp_params,
             tremolo=tremolo.make_params(self.os_sample_rate),
             power_amp=power_amp.make_params(self.os_sample_rate),
             speaker=speaker.make_params(self.sample_rate),
@@ -136,11 +144,13 @@ class Engine:
     # built) params, so they hash equal — jitted kernels compile once per
     # rate, not once per instance.
     def __hash__(self):
-        return hash(("openwurli_tpu.Engine", self.sample_rate))
+        return hash(("openwurli_tpu.Engine", self.sample_rate,
+                     self.preamp_model))
 
     def __eq__(self, other):
         return (isinstance(other, Engine)
-                and other.sample_rate == self.sample_rate)
+                and other.sample_rate == self.sample_rate
+                and other.preamp_model == self.preamp_model)
 
     # ── state construction ───────────────────────────────────────────────
 
@@ -165,13 +175,17 @@ class Engine:
             age_counter=jnp.zeros((), dtype=jnp.int64),
             os=allpass.init_state(),
             trem=tremolo.init_state(self.os_sample_rate),
-            pre=dk_preamp.init_state(self.params.preamp),
+            pre=(dk_preamp.init_state(self.params.preamp)
+                 if self.preamp_model == "dk"
+                 else melange_preamp.init_state(self.params.preamp)),
             pa=power_amp.init_state(self.params.power_amp),
             spk=speaker.init_state(),
             volume=vol, trem_depth=dep, spk_char=chr_,
             sustain_held=jnp.asarray(False),
             mlp_enabled=jnp.asarray(True),
             rail_sag=jnp.asarray(True),
+            noise_enabled=jnp.asarray(False),
+            noise_gain=jnp.asarray(1.0, dtype=jnp.float64),
             nan_guard_fires=jnp.zeros((), dtype=jnp.int64),
         )
 
@@ -207,6 +221,16 @@ class Engine:
 
     def set_rail_sag(self, on: bool):
         self.state = self.state._replace(rail_sag=jnp.asarray(bool(on)))
+
+    def set_noise_enabled(self, on: bool):
+        """Authentic circuit noise — active on the melange preamp only
+        (the legacy 8-node solver has no noise model, as in the
+        reference's default build)."""
+        self.state = self.state._replace(noise_enabled=jnp.asarray(bool(on)))
+
+    def set_noise_gain(self, gain: float):
+        self.state = self.state._replace(
+            noise_gain=jnp.asarray(float(gain), dtype=jnp.float64))
 
     BLOCK = 256
 
@@ -435,7 +459,14 @@ def _render(eng: Engine, st: EngineState, num_samples: int):
             for u in (e, o):
                 trem, shunt = tremolo.step(params.tremolo, trem, depth)
                 g_ldr = dk_preamp.ldr_conductance(shunt)
-                pre, pre_out = dk_preamp.step(params.preamp, pre, g_ldr, u)
+                if eng.preamp_model == "dk":
+                    pre, pre_out = dk_preamp.step(params.preamp, pre,
+                                                  g_ldr, u)
+                else:
+                    pre, pre_out = melange_preamp.step(
+                        params.preamp, pre, g_ldr, u,
+                        noise_enabled=st.noise_enabled,
+                        noise_gain=st.noise_gain)
                 pa_st, y = power_amp.step(
                     params.power_amp, pa_st,
                     pre_out * tables.FIXED_CIRCUIT_DRIVE,
@@ -446,7 +477,14 @@ def _render(eng: Engine, st: EngineState, num_samples: int):
             os_state = st.os
             trem, shunt = tremolo.step(params.tremolo, st.trem, depth)
             g_ldr = dk_preamp.ldr_conductance(shunt)
-            pre, pre_out = dk_preamp.step(params.preamp, st.pre, g_ldr, mono)
+            if eng.preamp_model == "dk":
+                pre, pre_out = dk_preamp.step(params.preamp, st.pre,
+                                              g_ldr, mono)
+            else:
+                pre, pre_out = melange_preamp.step(
+                    params.preamp, st.pre, g_ldr, mono,
+                    noise_enabled=st.noise_enabled,
+                    noise_gain=st.noise_gain)
             pa_st, amp_out = power_amp.step(
                 params.power_amp, st.pa,
                 pre_out * tables.FIXED_CIRCUIT_DRIVE,
@@ -459,9 +497,12 @@ def _render(eng: Engine, st: EngineState, num_samples: int):
 
         # NaN guard #2 (final output): reset chain, emit silence.
         bad = ~jnp.isfinite(out)
+        pre_init = (dk_preamp.init_state(params.preamp)
+                    if eng.preamp_model == "dk"
+                    else melange_preamp.init_state(params.preamp))
         pre = jax.tree.map(
-            lambda cur, ini: jnp.where(bad, ini, cur), pre,
-            dk_preamp.init_state(params.preamp))
+            lambda cur, ini: jnp.where(bad, jnp.broadcast_to(ini, cur.shape),
+                                       cur), pre, pre_init)
         os_state = jax.tree.map(
             lambda cur, ini: jnp.where(bad, ini, cur), os_state,
             allpass.init_state())

@@ -1,0 +1,106 @@
+"""Plugin-shell equivalent — the host-facing parameter surface + processor.
+
+The reference wraps WurliEngine in a nih-plug CLAP/VST3 shell
+(crates/openwurli-plugin) whose public surface is 6 parameters and a
+block-based process() with sample-accurate MIDI sub-block splitting. This
+module is the TPU build's host adapter: the same parameter surface
+(params.rs:48-93), the same block semantics (plugin lib.rs:108-163 — param
+sync per block, event-split rendering, CC64 sustain, mono→stereo fan-out),
+consumable from any Python host (offline renderers, a JACK/pipewire bridge,
+test harnesses).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from openwurli_tpu.engine import Engine
+
+
+@dataclasses.dataclass
+class WurliParams:
+    """The 6 host parameters (reference params.rs, defaults preserved)."""
+
+    volume: float = 0.5              # linear post-amp gain
+    tremolo_depth: float = 0.5       # vibrato pot position
+    speaker_character: float = 0.0   # 0 = bypass, 1 = authentic cabinet
+    mlp_corrections: bool = True     # per-note MLP corrections
+    authentic_noise: bool = False    # circuit thermal noise (melange preamp)
+    noise_level: float = 1.0         # noise gain multiplier, up to 30x
+
+
+@dataclasses.dataclass
+class MidiEvent:
+    """sample_offset is relative to the current block start."""
+
+    sample_offset: int
+    kind: str  # "note_on" | "note_off" | "cc"
+    note: int = 0
+    velocity: float = 0.0
+    cc: int = 0
+    value: int = 0
+
+
+class WurliPlugin:
+    """Block-based processor with the reference plugin's semantics."""
+
+    CLAP_ID = "com.openwurli-tpu.wurlitzer-200a"
+
+    def __init__(self, sample_rate: float = 44100.0,
+                 preamp_model: str = "dk"):
+        self.engine = Engine(sample_rate, preamp_model=preamp_model)
+        self.params = WurliParams()
+
+    def set_sample_rate(self, sr: float):
+        self.engine.set_sample_rate(sr)
+
+    def reset(self):
+        self.engine.reset()
+
+    def _sync_params(self):
+        """Per-block param sync (plugin lib.rs:36-47); the engine smooths
+        the audio-rate ones internally."""
+        e = self.engine
+        e.set_volume(self.params.volume)
+        e.set_tremolo_depth(self.params.tremolo_depth)
+        e.set_speaker_character(self.params.speaker_character)
+        e.set_mlp_enabled(self.params.mlp_corrections)
+        e.set_noise_enabled(self.params.authentic_noise)
+        e.set_noise_gain(self.params.noise_level)
+
+    def _dispatch(self, ev: MidiEvent):
+        if ev.kind == "note_on":
+            if ev.velocity > 0:
+                self.engine.note_on(ev.note, ev.velocity)
+            else:
+                self.engine.note_off(ev.note)
+        elif ev.kind == "note_off":
+            self.engine.note_off(ev.note)
+        elif ev.kind == "cc" and ev.cc == 64:
+            self.engine.set_sustain(ev.value >= 64)
+
+    def process(self, num_samples: int,
+                events: Sequence[MidiEvent] = ()) -> np.ndarray:
+        """Render one block with sample-accurate event splitting.
+
+        Returns (num_samples, 2) float32 — mono engine fanned out to
+        stereo, as the reference plugin does (lib.rs:158-163).
+        """
+        self._sync_params()
+        events = sorted(events, key=lambda ev: ev.sample_offset)
+        chunks = []
+        cursor = 0
+        for ev in events:
+            off = min(max(int(ev.sample_offset), cursor), num_samples)
+            if off > cursor:
+                chunks.append(np.asarray(self.engine.render(off - cursor)))
+                cursor = off
+            self._dispatch(ev)
+        if cursor < num_samples:
+            chunks.append(np.asarray(self.engine.render(num_samples - cursor)))
+        mono = (np.concatenate(chunks) if chunks
+                else np.zeros(0, dtype=np.float32))
+        return np.repeat(mono[:, None], 2, axis=1)
