@@ -1,10 +1,28 @@
-"""Minimal WAV I/O (16/24-bit PCM + float32), no external deps."""
+"""WAV I/O (16/24-bit PCM + float32).
+
+Uses the native C++ loader (openwurli_tpu.native) when built — the fast
+path for the ML pipeline chewing through long recordings — and falls back
+to the pure-NumPy implementation otherwise.
+"""
 
 from __future__ import annotations
 
 import struct
 
 import numpy as np
+
+
+def read_wav_mono(path):
+    """(mono float64 array, sample_rate) — native fast path when available."""
+    from openwurli_tpu import native
+
+    res = native.decode_wav(path)
+    if res is not None:
+        return res
+    x, sr = read_wav(path)
+    if x.ndim > 1:
+        x = x.mean(axis=1)
+    return x, sr
 
 
 def write_wav(path, samples, sample_rate, bits=24):
