@@ -452,11 +452,13 @@ def cmd_bench_reed(args):
     n = int(sr * args.duration)
 
     render = jax.jit(lambda st: voice.render(vparams, st, n))
-    out = jax.block_until_ready(render(state))  # compile
+    _st, out = render(state)
+    np.asarray(out)  # host transfer — forces completion (compile pass)
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        out = jax.block_until_ready(render(state))
+        _st, out = render(state)
+        np.asarray(out)
     wall = (time.time() - t0) / reps
     rtf = args.duration / wall
     print(f"{args.voices} voices × {args.duration}s at {sr:.0f} Hz: "
