@@ -32,13 +32,9 @@ def _setup_platforms():
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats and "cpu" not in plats.split(","):
         jax.config.update("jax_platforms", plats + ",cpu")
-    # Persistent compilation cache: the engine scan takes minutes to
-    # compile; reruns with unchanged code should not pay it again.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # NOTE: the jax persistent compilation cache is deliberately NOT
+    # enabled — with the axon remote-compile flow it stalled executions
+    # (observed: futex wait with no progress past the 15-minute mark).
 
 
 def main():

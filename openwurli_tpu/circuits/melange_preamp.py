@@ -226,7 +226,7 @@ def step(params: MelangePreampParams, state: MelangePreampState, g_ldr, x,
                 jax.vmap(dev_jac)(v_nl.reshape(-1, m)).reshape(
                     v_nl.shape + (m,)))
         jac = jnp.eye(m) - jnp.einsum("...ij,...jk->...ik", k_corr, jdev)
-        dv = mna.solve_f32(jac, f[..., None])[..., 0]
+        dv = mna.ge_solve_f32(jac, f)
         conv = jnp.max(jnp.abs(f), axis=-1, keepdims=True) < 1e-9
         v_nl = v_nl - jnp.where(conv, 0.0, jnp.clip(dv, -0.5, 0.5))
 

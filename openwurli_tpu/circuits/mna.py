@@ -82,6 +82,40 @@ def solve_f32(a, b):
     return x.astype(jnp.float64)
 
 
+def ge_solve_f32(a, b):
+    """Inline unrolled Gaussian elimination (no pivoting), f32 compute.
+
+    a: (..., m, m), b: (..., m) → x: (..., m) in f64. Replaces the
+    LuDecomposition custom call inside per-sample scan loops — a custom
+    call per sample is catastrophic on TPU, while this unrolls to
+    straight-line VPU code. No pivoting: NR Jacobians here are
+    I − K·dI/dv with unit-dominant diagonals; the NR outer loop's f64
+    residual check catches any pathological solve (iterative refinement).
+    """
+    m = a.shape[-1]
+    aug = jnp.concatenate(
+        [a.astype(jnp.float32), b.astype(jnp.float32)[..., None]], axis=-1)
+    # Forward elimination, unrolled over static m.
+    for k in range(m):
+        piv = aug[..., k, k:k + 1]
+        inv_piv = 1.0 / jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        row_k = aug[..., k, :] * inv_piv
+        aug = aug.at[..., k, :].set(row_k)
+        factors = aug[..., :, k]
+        row_idx = jnp.arange(m)
+        elim = jnp.where((row_idx > k)[..., None],
+                         factors[..., None] * row_k[..., None, :], 0.0)
+        aug = aug - elim
+    # Back substitution.
+    x = [None] * m
+    for i in range(m - 1, -1, -1):
+        acc = aug[..., i, m]
+        for j in range(i + 1, m):
+            acc = acc - aug[..., i, j] * x[j]
+        x[i] = acc
+    return jnp.stack(x, axis=-1).astype(jnp.float64)
+
+
 def bjt_currents(model: BjtModel, vbe, vbc):
     """DC Gummel-Poon: port voltages (vbe, vbc) → (ib, ic), NPN convention."""
     nf_vt = model.nf * model.vt
@@ -284,7 +318,7 @@ class SolverState(NamedTuple):
     v: jnp.ndarray        # (..., n) previous solution
     i_nl: jnp.ndarray     # (..., M) previous device currents
     v_nl: jnp.ndarray     # (..., M) previous port voltages (NR warm start)
-    nr_iters: jnp.ndarray  # (...,) int32 — last solve's iteration count
+    nr_resid: jnp.ndarray  # (...,) f64 — last solve's final NR residual [V]
 
 
 def dc_solve(netlist: Netlist, n_iter=300, clamp=0.1, source_steps=8):
@@ -388,7 +422,7 @@ def init_state(params: SolverParams, batch_shape=()) -> SolverState:
         i_nl=jnp.broadcast_to(params.i_dc, batch_shape + params.i_dc.shape),
         v_nl=jnp.broadcast_to(params.v_nl_dc,
                               batch_shape + params.v_nl_dc.shape),
-        nr_iters=jnp.zeros(batch_shape, dtype=jnp.int32),
+        nr_resid=jnp.zeros(batch_shape, dtype=jnp.float64),
     )
 
 
@@ -406,31 +440,41 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
     dev_jac_single = jax.jacfwd(dev_fn)
     m = int(params.k.shape[0])
 
+    # Fixed NR iteration count: a while_loop would add per-iteration sync
+    # overhead and prevents batching; with per-sample warm starts 2-4
+    # iterations typically converge, and the masked updates make the rest
+    # free of side effects. Residual-based failure detection replaces the
+    # iteration-count criterion.
+    nr_iters_fixed = min(max_iter, 16)
+
     def nr_solve(p, v_nl0):
-        """Solve v_nl = p + K i(v_nl) by damped NR with early exit."""
+        """Solve v_nl = p + K i(v_nl): fixed-count masked NR, inline GE."""
 
-        def cond(carry):
-            v_nl, it, done = carry
-            return (~jnp.all(done)) & (it < max_iter)
-
-        def body(carry):
-            v_nl, it, done = carry
+        def body(_, carry):
+            v_nl, done = carry
             i_nl = dev_fn(v_nl)
             f = v_nl - p - jnp.einsum("ij,...j->...i", params.k, i_nl)
             jdev = dev_jac_single(v_nl) if v_nl.ndim == 1 else jax.vmap(
                 dev_jac_single)(v_nl.reshape(-1, m)).reshape(
                     v_nl.shape + (m,))
             jac = jnp.eye(m) - jnp.einsum("ij,...jk->...ik", params.k, jdev)
-            dv = solve_f32(jac, f[..., None])[..., 0]
-            # Step limiting: junction voltages move ≤ 0.5 V per NR iter.
+            dv = ge_solve_f32(jac, f)
+            # Step limiting: junction voltages move ≤ 0.5 V per NR iter —
+            # the strong-damping choice; with per-sample warm starts the
+            # port voltages move ≲0.2 V/sample even in hard clipping.
             dv = jnp.clip(dv, -0.5, 0.5)
             conv = jnp.max(jnp.abs(f), axis=-1) < nr_tol
-            v_nl = v_nl - jnp.where(conv[..., None] | done[..., None], 0.0, dv)
-            return v_nl, it + 1, done | conv
+            v_nl = v_nl - jnp.where(conv[..., None] | done[..., None],
+                                    0.0, dv)
+            return v_nl, done | conv
 
         done0 = jnp.zeros(p.shape[:-1], dtype=bool)
-        v_nl, iters, _ = jax.lax.while_loop(cond, body, (v_nl0, 0, done0))
-        return v_nl, iters
+        v_nl, done = jax.lax.fori_loop(0, nr_iters_fixed, body,
+                                       (v_nl0, done0))
+        # Final residual for divergence detection (replaces iter counts).
+        f = v_nl - p - jnp.einsum("ij,...j->...i", params.k, dev_fn(v_nl))
+        resid = jnp.max(jnp.abs(f), axis=-1)
+        return v_nl, resid
 
     def step(state: SolverState, w_extra, _unused_x=None):
         rhs = jnp.einsum("ij,...j->...i", params.a_hist, state.v)
@@ -439,7 +483,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
             "im,...m->...i", params.n_i, state.i_nl)
         v_lin = jnp.einsum("ij,...j->...i", params.s, rhs)
         p = jnp.einsum("mi,...i->...m", params.n_v, v_lin)
-        v_nl, iters = nr_solve(p, state.v_nl)
+        v_nl, resid = nr_solve(p, state.v_nl)
         i_new = dev_fn(v_nl)
         v = v_lin + jnp.einsum("im,...m->...i", params.s_ni, i_new)
 
@@ -451,7 +495,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
 
         return SolverState(
             v=v, i_nl=i_new, v_nl=v_nl,
-            nr_iters=jnp.broadcast_to(iters, bad.shape).astype(jnp.int32),
+            nr_resid=jnp.broadcast_to(resid, bad.shape),
         ), v
 
     return step

@@ -226,21 +226,28 @@ def step(params: PowerAmpParams, state: PowerAmpState, x, rail_sag=True):
     raw = v[..., params.out_idx]
     result = raw / HEADROOM
 
-    # Divergence guard (power_amp.rs:388-421): non-finite output, NR
-    # exhaustion, or insane node voltage → reset circuit to DC OP and
-    # hold last confirmed-good output.
-    nr_failed = circuit.nr_iters >= MAX_ITER
+    # Divergence guard (power_amp.rs:388-421), in two tiers:
+    #   * insane (non-finite output / node |v| > 100 V) → reset the solver
+    #     to its DC operating point AND hold last confirmed-good output.
+    #   * NR non-convergence (residual > 1 mV — the fixed-count masked NR's
+    #     analogue of the reference's 70-iteration exhaustion) → hold the
+    #     output but KEEP the solver state: the warm-started NR continues
+    #     converging on subsequent samples. Resetting state here would
+    #     death-spiral (a DC-OP warm start can be tens of volts from a
+    #     clipped operating point, guaranteeing the next failure).
+    nr_failed = circuit.nr_resid > 1e-3
     node_v = circuit.v[..., : params.solver.s.shape[0]]
     insane = jnp.any(~jnp.isfinite(node_v) | (jnp.abs(node_v) > 100.0),
                      axis=-1)
-    bad = ~jnp.isfinite(result) | nr_failed | insane
+    reset = ~jnp.isfinite(result) | insane
+    bad = reset | nr_failed
 
     clean = mna.init_state(params.solver, bad.shape)
     circuit = mna.SolverState(
-        v=jnp.where(bad[..., None], clean.v, circuit.v),
-        i_nl=jnp.where(bad[..., None], clean.i_nl, circuit.i_nl),
-        v_nl=jnp.where(bad[..., None], clean.v_nl, circuit.v_nl),
-        nr_iters=circuit.nr_iters,
+        v=jnp.where(reset[..., None], clean.v, circuit.v),
+        i_nl=jnp.where(reset[..., None], clean.i_nl, circuit.i_nl),
+        v_nl=jnp.where(reset[..., None], clean.v_nl, circuit.v_nl),
+        nr_resid=circuit.nr_resid,
     )
     clamped = jnp.clip(result, -1.0, 1.0)
     out = jnp.where(bad, state.last_good, clamped)

@@ -147,7 +147,7 @@ def settled_osc_state(sample_rate):
                 v=jnp.asarray(z[f"{key}_v"], dtype=jnp.float64),
                 i_nl=jnp.asarray(z[f"{key}_i"], dtype=jnp.float64),
                 v_nl=jnp.asarray(z[f"{key}_vnl"], dtype=jnp.float64),
-                nr_iters=jnp.zeros((), dtype=jnp.int32),
+                nr_resid=jnp.zeros((), dtype=jnp.float64),
             )
 
     params = make_params(sample_rate)
@@ -176,7 +176,7 @@ def init_state(sample_rate, batch_shape=()) -> TremoloState:
         v=jnp.broadcast_to(osc.v, batch_shape + osc.v.shape),
         i_nl=jnp.broadcast_to(osc.i_nl, batch_shape + osc.i_nl.shape),
         v_nl=jnp.broadcast_to(osc.v_nl, batch_shape + osc.v_nl.shape),
-        nr_iters=jnp.broadcast_to(osc.nr_iters, batch_shape),
+        nr_resid=jnp.broadcast_to(osc.nr_resid, batch_shape),
     )
     return TremoloState(
         osc=osc_b,
