@@ -55,7 +55,7 @@ def _lcg(st):
 
 
 def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
-            q_ref, nstate_ref, irng_ref):
+            q_ref, nstate_ref, irng_ref, nf_ref):
     """One grid step renders T_TILE samples for all LANES voices."""
     tile = pl.program_id(0)
 
@@ -75,6 +75,7 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
         nstate_ref[:] = jnp.concatenate(
             [namp, jnp.zeros((SUBLANES - 1, namp.shape[1]), jnp.float32)],
             axis=0)
+        nf_ref[0, 0] = 0.0
 
     cosm1 = params_ref[ROW_COSM1]      # cos(θ) − 1
     sin_inc = params_ref[ROW_SIN]
@@ -101,9 +102,12 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
 
     base_n = tile * T_TILE
 
-    def body(i, _):
+    # Mosaic's scalar int→float convert lowering recurses in this jax
+    # version, so the sample index is ALSO carried as an f32 running
+    # counter (exact to 2^24 samples ≈ 380 s) in SMEM across tiles; the
+    # int `n` serves the bitwise subsample/renorm tests only.
+    def body(i, n_f):
         n = base_n + i
-        n_f = n.astype(jnp.float32)
 
         cosine = 0.5 * (1.0 - jnp.cos(n_f * onset_inc))
         shaped = jnp.where(
@@ -121,8 +125,10 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
             # advance by 7, matching the reference (reed.rs:267-271).
             for m in range(NUM_MODES):
                 st = _lcg(st)
-                u = (st >> jnp.uint32(1)).astype(jnp.float32) * jnp.float32(
-                    2.0 / 4294967295.0)
+                # u32→f32 via i32: Mosaic's direct unsigned→float lowering
+                # recurses; after >>1 the top bit is clear so i32 is exact.
+                u = (st >> jnp.uint32(1)).astype(jnp.int32).astype(
+                    jnp.float32) * jnp.float32(2.0 / 4294967295.0)
                 noise = (u * 2.0 - 1.0) * jnp.float32(1.7320508080)
                 rows.append(revert * drift[m:m + 1, :] + diffusion * noise)
             rows.append(drift[NUM_MODES:, :])  # pad rows stay zero
@@ -197,9 +203,12 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
             pickup_mod.PICKUP_SENSITIVITY) * post_gain
 
         out_ref[i, :] = out[0, :]
-        return 0
+        return n_f + 1.0
 
-    jax.lax.fori_loop(0, T_TILE, body, 0)
+    # i32 bounds: under jax_enable_x64 python-int bounds make the loop
+    # index i64, and Mosaic's i64→i32 convert lowering recurses infinitely.
+    nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(T_TILE),
+                                     body, nf_ref[0, 0])
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
@@ -228,6 +237,7 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False):
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # pickup q
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # noise amp/z1/z2
             pltpu.VMEM((SUBLANES, LANES), jnp.int32),    # LCG states
+            pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
         ],
         interpret=interpret,
     )(params)
