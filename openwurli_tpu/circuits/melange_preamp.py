@@ -176,7 +176,7 @@ def step(params: MelangePreampParams, state: MelangePreampState, g_ldr, x,
     nl = _cached_netlist()
     sp = params.solver
     dev_fn = nl.device_current_fn()
-    dev_jac = jax.jacfwd(dev_fn)
+    dev_jac = nl.device_jacobian_fn()
     m = int(sp.k.shape[0])
 
     g_ldr = jnp.asarray(g_ldr, dtype=jnp.float64)
@@ -222,9 +222,7 @@ def step(params: MelangePreampParams, state: MelangePreampState, g_ldr, x,
     for _ in range(NR_MAX_ITER):
         i_nl = dev_fn(v_nl)
         f = v_nl - p - jnp.einsum("...ij,...j->...i", k_corr, i_nl)
-        jdev = (dev_jac(v_nl) if v_nl.ndim == 1 else
-                jax.vmap(dev_jac)(v_nl.reshape(-1, m)).reshape(
-                    v_nl.shape + (m,)))
+        jdev = dev_jac(v_nl)
         jac = jnp.eye(m) - jnp.einsum("...ij,...jk->...ik", k_corr, jdev)
         dv = mna.ge_solve_f32(jac, f)
         conv = jnp.max(jnp.abs(f), axis=-1, keepdims=True) < 1e-9

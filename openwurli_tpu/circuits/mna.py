@@ -296,6 +296,46 @@ class Netlist:
 
         return fn
 
+    def device_jacobian_fn(self):
+        """Block-structured Jacobian: dI/dV_nl as a dense (..., M, M).
+
+        Each device's currents depend only on ITS OWN port voltages, so
+        the Jacobian is block-diagonal (2×2 per BJT, 1×1 per diode). Two
+        JVP tangent passes (one per BJT port) recover every block — 8×
+        cheaper than jacfwd's M tangents on an M=16 power amp, and the
+        dominant cost inside per-sample Newton iterations.
+        """
+        fn = self.device_current_fn()
+        n_bjt = len(self.bjts)
+        m = 2 * n_bjt + len(self.diodes)
+
+        def jac(v_nl):
+            batch = v_nl.shape[:-1]
+            # Tangent 1: perturb every device's FIRST port (vbe / vd).
+            t1 = jnp.zeros_like(v_nl)
+            t1 = t1.at[..., 0:2 * n_bjt:2].set(1.0)
+            t1 = t1.at[..., 2 * n_bjt:].set(1.0)
+            # Tangent 2: perturb every BJT's SECOND port (vbc).
+            t2 = jnp.zeros_like(v_nl)
+            if n_bjt:
+                t2 = t2.at[..., 1:2 * n_bjt:2].set(1.0)
+            _, d1 = jax.jvp(fn, (v_nl,), (t1,))
+            _, d2 = jax.jvp(fn, (v_nl,), (t2,))
+            # Assemble dense block-diagonal (..., M, M).
+            out = jnp.zeros(batch + (m, m), dtype=v_nl.dtype)
+            for b in range(n_bjt):
+                i0 = 2 * b
+                out = out.at[..., i0, i0].set(d1[..., i0])
+                out = out.at[..., i0 + 1, i0].set(d1[..., i0 + 1])
+                out = out.at[..., i0, i0 + 1].set(d2[..., i0])
+                out = out.at[..., i0 + 1, i0 + 1].set(d2[..., i0 + 1])
+            for k in range(len(self.diodes)):
+                idx = 2 * n_bjt + k
+                out = out.at[..., idx, idx].set(d1[..., idx])
+            return out
+
+        return jac
+
 
 class SolverParams(NamedTuple):
     """Fixed per-sample-rate solver matrices (static jnp constants)."""
@@ -427,7 +467,7 @@ def init_state(params: SolverParams, batch_shape=()) -> SolverState:
 
 
 def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
-              nr_tol=1e-9):
+              nr_tol=1e-9, nr_iters=None):
     """Build the per-sample step fn for this netlist.
 
     Returns step(state, w_extra, x) → (state, v_full):
@@ -437,7 +477,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
     The caller extracts output node voltages from v_full.
     """
     dev_fn = netlist.device_current_fn()
-    dev_jac_single = jax.jacfwd(dev_fn)
+    dev_jac = netlist.device_jacobian_fn()
     m = int(params.k.shape[0])
 
     # Fixed NR iteration count: a while_loop would add per-iteration sync
@@ -445,7 +485,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
     # iterations typically converge, and the masked updates make the rest
     # free of side effects. Residual-based failure detection replaces the
     # iteration-count criterion.
-    nr_iters_fixed = min(max_iter, 16)
+    nr_iters_fixed = nr_iters if nr_iters is not None else min(max_iter, 16)
 
     def nr_solve(p, v_nl0):
         """Solve v_nl = p + K i(v_nl): fixed-count masked NR, inline GE."""
@@ -454,9 +494,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
             v_nl, done = carry
             i_nl = dev_fn(v_nl)
             f = v_nl - p - jnp.einsum("ij,...j->...i", params.k, i_nl)
-            jdev = dev_jac_single(v_nl) if v_nl.ndim == 1 else jax.vmap(
-                dev_jac_single)(v_nl.reshape(-1, m)).reshape(
-                    v_nl.shape + (m,))
+            jdev = dev_jac(v_nl)
             jac = jnp.eye(m) - jnp.einsum("ij,...jk->...ik", params.k, jdev)
             dv = ge_solve_f32(jac, f)
             # Step limiting: junction voltages move ≤ 0.5 V per NR iter —

@@ -164,8 +164,12 @@ def make_params(sample_rate, rails_included=True) -> PowerAmpParams:
 
 @lru_cache(maxsize=None)
 def _step_fn(sample_rate):
+    # 16 masked NR iterations: hard clip onsets transiently need the
+    # extra travel (8 leaves the solver stuck past the divergence guard —
+    # see test_rail_clipping); typical warm-started samples converge in
+    # 2-4 and the rest are masked no-ops.
     return mna.make_step(_cached_netlist(), make_params(sample_rate).solver,
-                         max_iter=MAX_ITER)
+                         max_iter=MAX_ITER, nr_iters=16)
 
 
 def init_rails(batch_shape=()) -> RailState:

@@ -105,8 +105,9 @@ def make_params(sample_rate) -> TremoloParams:
 
 @lru_cache(maxsize=None)
 def _osc_step_fn(sample_rate):
+    # Smooth ~5.5 Hz oscillation: warm-started NR converges in 1-2 iters.
     return mna.make_step(_cached_netlist(), make_params(sample_rate).solver,
-                         max_iter=50)
+                         max_iter=50, nr_iters=4)
 
 
 def osc_step(params: TremoloParams, osc: mna.SolverState):

@@ -211,32 +211,44 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
                                      body, nf_ref[0, 0])
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
 def render_voice_bank(params, num_samples: int, interpret: bool = False):
-    """Render LANES voices × num_samples through the fused kernel.
+    """Render V voices × num_samples through the fused kernel.
 
-    params: (N_ROWS, 8, LANES) f32 (see make_kernel_params).
-    Returns (num_samples, LANES) f32 post-pickup voice outputs.
+    params: (N_ROWS, 8, V) f32 with V a multiple of 128 (see
+    make_kernel_params — the per-kernel-step cost on this platform is a
+    near-constant floor, so WIDE voice counts amortise it).
+    Returns (num_samples, V) f32 post-pickup voice outputs.
+
+    Runs under an x32 config context: jax_enable_x64 (on globally for the
+    circuit solvers) crashes the Mosaic TPU backend's layout inference
+    even for trivial kernels on this stack.
     """
+    with jax.enable_x64(False):
+        return _render_voice_bank_jit(params, num_samples, interpret)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _render_voice_bank_jit(params, num_samples: int, interpret: bool):
+    lanes = params.shape[-1]
     n_tiles = (num_samples + T_TILE - 1) // T_TILE
     total = n_tiles * T_TILE
     out = pl.pallas_call(
         _kernel,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((N_ROWS, SUBLANES, LANES),
+        in_specs=[pl.BlockSpec((N_ROWS, SUBLANES, lanes),
                                lambda t: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((T_TILE, LANES), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((T_TILE, lanes), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total, LANES), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((total, lanes), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # s
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # c
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # env
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # drift
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # pickup q
-            pltpu.VMEM((SUBLANES, LANES), jnp.float32),  # noise amp/z1/z2
-            pltpu.VMEM((SUBLANES, LANES), jnp.int32),    # LCG states
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # s
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # c
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # env
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # drift
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # pickup q
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise amp/z1/z2
+            pltpu.VMEM((SUBLANES, lanes), jnp.int32),    # LCG states
             pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
         ],
         interpret=interpret,
@@ -245,36 +257,45 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False):
 
 
 def make_kernel_params(midi_notes, velocities, sample_rate,
-                       mlp_enabled=False):
+                       mlp_enabled=False, lanes=None):
     """Pack per-voice note-on parameters into the kernel layout.
 
-    midi_notes/velocities: up to LANES entries (padded with silent voices).
-    Returns (params (N_ROWS, 8, LANES) f32, n_active).
+    midi_notes/velocities: up to `lanes` entries (padded with silent
+    voices); lanes defaults to the next multiple of 128.
+    Returns (params (N_ROWS, 8, lanes) f32, n_active).
     """
     from openwurli_tpu import voice
 
     m = np.asarray(midi_notes, dtype=np.float64)
     v = np.asarray(velocities, dtype=np.float64)
     n_active = m.shape[0]
-    assert n_active <= LANES
+    lanes = lanes or max(128, ((n_active + 127) // 128) * 128)
+    assert n_active <= lanes
+    return _make_kernel_params_inner(m, v, n_active, sample_rate,
+                                     mlp_enabled, lanes)
+
+
+def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
+                              lanes):
+    from openwurli_tpu import voice
 
     vparams, detuned = voice.note_on_params(
         jnp.asarray(m), jnp.asarray(v), sample_rate, mlp_enabled=mlp_enabled)
     state = voice.init_state(vparams, detuned, jnp.asarray(v), sample_rate,
                              voice.default_note_seed(jnp.asarray(m)))
 
-    def pad_modes(x):  # (G, 7) → (8, LANES)
-        arr = np.zeros((SUBLANES, LANES), dtype=np.float32)
+    def pad_modes(x):  # (G, 7) → (8, lanes)
+        arr = np.zeros((SUBLANES, lanes), dtype=np.float32)
         arr[:NUM_MODES, :n_active] = np.asarray(x, dtype=np.float32).T
         return arr
 
     def pad_scalar(x, fill=0.0):
-        arr = np.full(LANES, fill, dtype=np.float32)
+        arr = np.full(lanes, fill, dtype=np.float32)
         arr[:n_active] = np.asarray(x, dtype=np.float32)
         return arr
 
     rp = vparams.reed
-    scal = np.zeros((SUBLANES, LANES), dtype=np.float32)
+    scal = np.zeros((SUBLANES, lanes), dtype=np.float32)
     scal[0] = pad_scalar(rp.onset_ramp_samples)
     scal[1] = pad_scalar(rp.onset_ramp_inc)
     scal[2] = pad_scalar(rp.onset_shape_exp, fill=1.0)
@@ -287,11 +308,11 @@ def make_kernel_params(midi_notes, velocities, sample_rate,
     drift0 = pad_modes(state.reed.jitter_drift)
 
     # int RNG states: row 0 jitter (post-Box-Muller), row 1 noise (raw seed)
-    rng0 = np.zeros((SUBLANES, LANES), dtype=np.uint32)
+    rng0 = np.zeros((SUBLANES, lanes), dtype=np.uint32)
     rng0[0, :n_active] = np.asarray(state.reed.jitter_state, dtype=np.uint32)
     rng0[1, :n_active] = np.asarray(state.noise.rng_state, dtype=np.uint32)
 
-    nrow = np.zeros((SUBLANES, LANES), dtype=np.float32)
+    nrow = np.zeros((SUBLANES, lanes), dtype=np.float32)
     nrow[0] = pad_scalar(np.asarray(state.noise.amplitude))
     nrow[1] = pad_scalar(np.asarray(vparams.noise.decay_per_sample))
     nrow[2] = pad_scalar(np.asarray(state.noise.remaining))
