@@ -309,30 +309,41 @@ class Netlist:
         n_bjt = len(self.bjts)
         m = 2 * n_bjt + len(self.diodes)
 
+        # Static masks assembling the dense block-diagonal from the two
+        # tangent results by broadcast-multiply (no scatter ops — scalar
+        # .at[].set scatters inside per-sample loops are both slow and a
+        # Mosaic/XLA-TPU hazard).
+        mask1 = np.zeros((m, m))  # columns hit by tangent 1 (vbe / vd)
+        mask2 = np.zeros((m, m))  # columns hit by tangent 2 (vbc)
+        for b in range(n_bjt):
+            i0 = 2 * b
+            mask1[i0, i0] = 1.0
+            mask1[i0 + 1, i0] = 1.0
+            mask2[i0, i0 + 1] = 1.0
+            mask2[i0 + 1, i0 + 1] = 1.0
+        for k in range(len(self.diodes)):
+            idx = 2 * n_bjt + k
+            mask1[idx, idx] = 1.0
+        # Keep constants as NumPy: this closure is lru-cached and may first
+        # run inside a jit trace — jnp constants created there would leak
+        # tracers into later traces.
+        t1_np = np.zeros(m)
+        t1_np[0:2 * n_bjt:2] = 1.0
+        t1_np[2 * n_bjt:] = 1.0
+        t2_np = np.zeros(m)
+        t2_np[1:2 * n_bjt:2] = 1.0
+
         def jac(v_nl):
-            batch = v_nl.shape[:-1]
-            # Tangent 1: perturb every device's FIRST port (vbe / vd).
-            t1 = jnp.zeros_like(v_nl)
-            t1 = t1.at[..., 0:2 * n_bjt:2].set(1.0)
-            t1 = t1.at[..., 2 * n_bjt:].set(1.0)
-            # Tangent 2: perturb every BJT's SECOND port (vbc).
-            t2 = jnp.zeros_like(v_nl)
-            if n_bjt:
-                t2 = t2.at[..., 1:2 * n_bjt:2].set(1.0)
+            t1 = jnp.broadcast_to(jnp.asarray(t1_np, dtype=v_nl.dtype),
+                                  v_nl.shape)
+            t2 = jnp.broadcast_to(jnp.asarray(t2_np, dtype=v_nl.dtype),
+                                  v_nl.shape)
             _, d1 = jax.jvp(fn, (v_nl,), (t1,))
             _, d2 = jax.jvp(fn, (v_nl,), (t2,))
-            # Assemble dense block-diagonal (..., M, M).
-            out = jnp.zeros(batch + (m, m), dtype=v_nl.dtype)
-            for b in range(n_bjt):
-                i0 = 2 * b
-                out = out.at[..., i0, i0].set(d1[..., i0])
-                out = out.at[..., i0 + 1, i0].set(d1[..., i0 + 1])
-                out = out.at[..., i0, i0 + 1].set(d2[..., i0])
-                out = out.at[..., i0 + 1, i0 + 1].set(d2[..., i0 + 1])
-            for k in range(len(self.diodes)):
-                idx = 2 * n_bjt + k
-                out = out.at[..., idx, idx].set(d1[..., idx])
-            return out
+            # row i, col j: mask1[i,j]·d1[i] + mask2[i,j]·d2[i]
+            return (d1[..., :, None] * jnp.asarray(mask1, dtype=v_nl.dtype)
+                    + d2[..., :, None] * jnp.asarray(mask2,
+                                                     dtype=v_nl.dtype))
 
         return jac
 
