@@ -57,11 +57,14 @@ def _run_config(streams, seconds, reps, sr):
         state = eng.state
 
     state = jax.device_put(state, accel)
-    stacked = jax.tree.map(
-        lambda x: jnp.broadcast_to(jnp.asarray(x), (streams,)
-                                   + jnp.asarray(x).shape), state)
-
-    vrender = jax.jit(jax.vmap(lambda s: engine._render(eng, s, block)))
+    if streams > 1:
+        stacked = jax.tree.map(
+            lambda x: jnp.broadcast_to(jnp.asarray(x), (streams,)
+                                       + jnp.asarray(x).shape), state)
+        vrender = jax.jit(jax.vmap(lambda s: engine._render(eng, s, block)))
+    else:
+        stacked = state
+        vrender = jax.jit(lambda s: engine._render(eng, s, block))
 
     t0 = time.time()
     stacked2, out = vrender(stacked)
@@ -96,8 +99,9 @@ def main():
         (8, 0.1, 1),
         (2, 0.05, 1),
     ]
+    ladder.append((1, 0.02, 1))  # non-vmapped single stream (most robust)
     last_err = None
-    for streams, seconds, reps in ladder:
+    for k, (streams, seconds, reps) in enumerate(ladder):
         try:
             rtf, wall, compile_s, peak = _run_config(streams, seconds,
                                                      reps, sr)
@@ -106,6 +110,9 @@ def main():
             last_err = e
             print(f"# config ({streams},{seconds},{reps}) failed: "
                   f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+            # The tunneled worker takes a while to restart after a fault;
+            # retrying immediately fails spuriously.
+            time.sleep(90)
     else:
         raise SystemExit(f"all bench configs failed: {last_err}")
 
