@@ -86,36 +86,58 @@ def _run_config(streams, seconds, reps, sr):
     return reps * streams * seconds / wall, wall, compile_s, peak
 
 
+def _wait_device_healthy(max_wait_s=420):
+    """Trivial-op probe loop: the tunneled worker takes minutes to restart
+    after a kernel fault."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            np.asarray(jax.jit(lambda a: a + 1.0)(jnp.ones((4,))))
+            return True
+        except Exception:
+            if time.time() > deadline:
+                return False
+            time.sleep(30)
+
+
 def main():
     _setup_platforms()
 
     sr = float(os.environ.get("BENCH_SAMPLE_RATE", "44100"))
-    # Resilience ladder: long device-side executions intermittently crash
-    # the tunneled TPU worker; fall back to smaller configurations.
+    # Resilience ladder, SAFEST FIRST: vmapped engine executables
+    # intermittently crash the tunneled TPU worker, and a crashed worker
+    # can stay down — so bank a robust single-stream measurement before
+    # attempting the batched configurations, and report the best success.
     ladder = [
+        (1, 0.05, 1),  # non-vmapped single stream (most robust)
+        (8, 0.1, 1),
         (int(os.environ.get("BENCH_STREAMS", "32")),
          float(os.environ.get("BENCH_SECONDS", "0.25")),
          int(os.environ.get("BENCH_REPS", "2"))),
-        (8, 0.1, 1),
-        (2, 0.05, 1),
     ]
-    ladder.append((1, 0.02, 1))  # non-vmapped single stream (most robust)
+    best = None
     last_err = None
-    for k, (streams, seconds, reps) in enumerate(ladder):
+    for streams, seconds, reps in ladder:
+        if not _wait_device_healthy():
+            print("# device unhealthy; stopping ladder", file=sys.stderr)
+            break
         try:
             rtf, wall, compile_s, peak = _run_config(streams, seconds,
                                                      reps, sr)
-            break
-        except Exception as e:  # worker crash / device fault — step down
+            cfg = (streams, seconds, reps, wall, compile_s, peak)
+            if best is None or rtf > best[0]:
+                best = (rtf, cfg)
+        except Exception as e:  # worker crash / device fault
             last_err = e
             print(f"# config ({streams},{seconds},{reps}) failed: "
                   f"{type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
-            # The tunneled worker takes a while to restart after a fault;
-            # retrying immediately fails spuriously.
-            time.sleep(90)
-    else:
+    if best is None:
         raise SystemExit(f"all bench configs failed: {last_err}")
 
+    rtf, (streams, seconds, reps, wall, compile_s, peak) = best
     reference_rtf = 53.0  # render-poly 6 notes × 10 s → 1.13 s (CHANGELOG)
     print(json.dumps({
         "metric": "64-voice full-chain render throughput per chip",
