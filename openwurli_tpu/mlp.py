@@ -48,9 +48,12 @@ class MlpWeights(NamedTuple):
 
 
 def load_weights(path: str = _DATA) -> MlpWeights:
+    # NumPy host constants, NOT jnp: this may first run inside a jit trace
+    # (jnp conversion there returns tracers, which the module-level cache
+    # would leak into later traces).
     z = np.load(path)
     return MlpWeights(
-        *[jnp.asarray(z[k], dtype=jnp.float64)
+        *[np.asarray(z[k], dtype=np.float64)
           for k in ("w1", "b1", "w2", "b2", "w3", "b3",
                     "target_means", "target_stds")]
     )
