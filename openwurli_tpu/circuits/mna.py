@@ -487,8 +487,13 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
                pass jnp.zeros(n) when unused.
     The caller extracts output node voltages from v_full.
     """
+    from openwurli_tpu.circuits import gp
+
     dev_fn = netlist.device_current_fn()
-    dev_jac = netlist.device_jacobian_fn()
+    # Closed-form GP/diode derivatives: one evaluation per NR iteration
+    # (the 2-JVP block recovery re-traced the current function twice per
+    # iteration and dominated the power-amp stage cost).
+    dev_jac = gp.analytic_device_jacobian_fn(netlist)
     m = int(params.k.shape[0])
 
     # Fixed NR iteration count: a while_loop would add per-iteration sync
