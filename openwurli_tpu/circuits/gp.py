@@ -121,6 +121,25 @@ def bjt_currents_derivs_packed(p, vbe, vbc):
             dict_bc - dibc_bc)  # dic/dvbc
 
 
+def bjt_currents_packed(p, vbe, vbc):
+    """Currents only (final NR evaluation) — same math as the derivs fn."""
+    is_ = p["is_"]
+    ef, _ = _limexp_d(vbe * p["inv_nfvt"])
+    er, _ = _limexp_d(vbc * p["inv_nrvt"])
+    i_f = is_ * (ef - 1.0)
+    i_r = is_ * (er - 1.0)
+    q1 = 1.0 / jnp.maximum(1.0 - vbc * p["inv_vaf"] - vbe * p["inv_var"],
+                           1e-4)
+    q2 = i_f * p["inv_ikf"] + i_r * p["inv_ikr"]
+    qb = q1 * 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * jnp.maximum(q2, 0.0)))
+    ict = (i_f - i_r) / qb
+    el, _ = _limexp_d(vbe * p["inv_nevt"])
+    ec, _ = _limexp_d(vbc * p["inv_ncvt"])
+    ibe = i_f * p["inv_bf"] + p["ise"] * (el - 1.0)
+    ibc = i_r * p["inv_br"] + p["isc"] * (ec - 1.0)
+    return ibe + ibc, ict - ibc
+
+
 def diode_current_deriv(model: mna.DiodeModel, vd):
     val, dval = _limexp_d(vd / (model.n * model.vt))
     return (model.is_ * (val - 1.0),

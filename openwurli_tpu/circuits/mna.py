@@ -477,6 +477,42 @@ def init_state(params: SolverParams, batch_shape=()) -> SolverState:
     )
 
 
+def junction_limits(netlist: Netlist):
+    """Per-port (nvt, vcrit) for SPICE-style junction voltage limiting.
+
+    vcrit = nvt·ln(nvt / (√2·IS)) — the voltage where the junction's
+    exponential current slope equals 1/nvt of itself; Newton steps that
+    jump past it get log-compressed (pnjlim). Returns NumPy (M,) arrays.
+    """
+    nvt, vcrit = [], []
+    for _, _, _, _, model, _sign in netlist.bjts:
+        for n_em in (model.nf, model.nr):
+            v = n_em * model.vt
+            nvt.append(v)
+            vcrit.append(v * np.log(v / (np.sqrt(2.0) * model.is_)))
+    for _, _, _, model in netlist.diodes:
+        v = model.n * model.vt
+        nvt.append(v)
+        vcrit.append(v * np.log(v / (np.sqrt(2.0) * model.is_)))
+    return np.asarray(nvt), np.asarray(vcrit)
+
+
+def pnjlim(v_old, v_new, nvt, vcrit):
+    """SPICE junction limiting: log-compress forward-biased overshoots.
+
+    An NR step that jumps a junction past vcrit by more than 2·nvt lands
+    on an exponential wall the next iteration must walk back ~nvt at a
+    time (the reference budgets ≤70 iterations largely for this,
+    gen_power_amp.rs:29-49). Compressing the step to
+    v_old + nvt·ln(1 + δ/nvt) keeps Newton in the quadratic basin —
+    junction turn-on converges in ~3-6 iterations.
+    """
+    delta = v_new - v_old
+    lim = v_old + nvt * jnp.log1p(jnp.maximum(delta, 0.0) / nvt)
+    apply = (v_new > vcrit) & (delta > 2.0 * nvt)
+    return jnp.where(apply, lim, v_new)
+
+
 def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
               nr_tol=1e-9, nr_iters=None):
     """Build the per-sample step fn for this netlist.
@@ -495,6 +531,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
     # iteration and dominated the power-amp stage cost).
     dev_jac = gp.analytic_device_jacobian_fn(netlist)
     m = int(params.k.shape[0])
+    nvt_pl, vcrit_pl = junction_limits(netlist)
 
     # Fixed NR iteration count: a while_loop would add per-iteration sync
     # overhead and prevents batching; with per-sample warm starts 2-4
@@ -513,13 +550,18 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
             jdev = dev_jac(v_nl)
             jac = jnp.eye(m) - jnp.einsum("ij,...jk->...ik", params.k, jdev)
             dv = ge_solve_f32(jac, f)
-            # Step limiting: junction voltages move ≤ 0.5 V per NR iter —
-            # the strong-damping choice; with per-sample warm starts the
-            # port voltages move ≲0.2 V/sample even in hard clipping.
-            dv = jnp.clip(dv, -0.5, 0.5)
+            # Step limiting: ≤ 2 V linear travel per iteration, then
+            # SPICE pnjlim compression for forward-junction overshoots
+            # (replaces the old blanket 0.5 V clamp, which both starved
+            # the output ports' legitimate rail-to-rail travel AND let
+            # junctions overshoot far enough to stall 16-iteration NR at
+            # every crossover).
+            dv = jnp.clip(dv, -2.0, 2.0)
+            v_cand = pnjlim(v_nl, v_nl - dv, jnp.asarray(nvt_pl),
+                            jnp.asarray(vcrit_pl))
             conv = jnp.max(jnp.abs(f), axis=-1) < nr_tol
-            v_nl = v_nl - jnp.where(conv[..., None] | done[..., None],
-                                    0.0, dv)
+            v_nl = jnp.where(conv[..., None] | done[..., None],
+                             v_nl, v_cand)
             return v_nl, done | conv
 
         done0 = jnp.zeros(p.shape[:-1], dtype=bool)

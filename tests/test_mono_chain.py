@@ -1,0 +1,227 @@
+"""Fused mono-chain kernel (f32 deviation form) vs the f64 module chain.
+
+Stage-by-stage and full-chain parity gates for kernels/mono_chain.py. The
+f64 modules (circuits/*) are the accuracy reference; the kernel twin
+(render_cpu) runs the exact step functions the Pallas kernel traces.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openwurli_tpu.circuits import dk_preamp as dkp
+from openwurli_tpu.circuits import power_amp as pamod
+from openwurli_tpu.circuits import speaker as spkmod
+from openwurli_tpu.circuits import tremolo as trmod
+from openwurli_tpu.kernels import mono_chain as mc
+from openwurli_tpu.ops import allpass
+
+BASE_SR = 44100.0
+OS_SR = 2 * BASE_SR
+
+
+def _db(err, sig):
+    return 20.0 * np.log10(max(np.sqrt(np.mean(err**2)), 1e-30)
+                           / np.sqrt(np.mean(sig**2)))
+
+
+def _kernel_env():
+    c = mc.pack_consts(BASE_SR)
+    carr = {k: jnp.asarray(v) for k, v in c.arrays.items()}
+    return c, carr, dict(c.scalars), [n for n, _ in mc.STATE_SPEC]
+
+
+def test_ge_solve_flat():
+    rng = np.random.default_rng(0)
+    s, m = 5, 16
+    a = np.eye(m)[None] + 0.1 * rng.standard_normal((s, m, m))
+    b = rng.standard_normal((s, m))
+    x_ref = np.linalg.solve(a, b[..., None])[..., 0]
+    cols = [jnp.asarray(a[:, :, j].T, jnp.float32) for j in range(m)]
+    x = np.asarray(mc._ge_solve_flat(cols, jnp.asarray(b.T, jnp.float32), m))
+    assert np.abs(x.T - x_ref).max() < 1e-5
+
+
+def test_preamp_stage_parity():
+    """f32 twin-preamp step vs dk_preamp.step over a tremolo-swept render.
+
+    −50 dB gate: under heavy LDR shunt the reference's own internal node
+    C1 swings to −72 V, so f32 deviation-state rounding floors near
+    5e-6 V absolute; at light shunt the stage parity is −80 dB+."""
+    c, carr, sc, names = _kernel_env()
+    t_len = 3000
+    t = np.arange(t_len) / OS_SR
+    u = (0.05 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    r = 12000 + 8000 * np.sin(2 * np.pi * 5.5 * t)
+    gl = 1.0 / np.maximum(r, 1000)
+
+    pp = dkp.make_params(OS_SR)
+
+    def body64(st, xs):
+        g, x = xs
+        st, y = dkp.step(pp, st, g, x)
+        return st, y
+
+    _, y64 = jax.lax.scan(body64, dkp.init_state(pp),
+                          (jnp.asarray(gl), jnp.asarray(u, jnp.float64)))
+    y64 = np.asarray(y64)
+
+    flat = mc.init_state(BASE_SR, 1)
+    st0 = {k: jnp.asarray(v) for k, v in mc.unpack_state(flat).items()}
+
+    def body32(carry, xs):
+        st = dict(zip(names, carry))
+        g, x = xs
+        st, y = mc.preamp_step(carr, sc, st, x.reshape(1, 1),
+                               g.reshape(1, 1))
+        return tuple(st[n] for n in names), y.ravel()
+
+    _, y32 = jax.lax.scan(jax.jit(body32), tuple(st0[n] for n in names),
+                          (jnp.asarray(gl.astype(np.float32)),
+                           jnp.asarray(u)))
+    err = (np.asarray(y32).ravel() - y64)[200:]
+    db = _db(err, y64[200:])
+    assert db < -50.0, f"preamp stage parity {db:.1f} dB"
+
+
+@pytest.mark.parametrize("amp,gate_db", [(0.05, -60.0), (0.2, -60.0)])
+def test_power_amp_stage_parity(amp, gate_db):
+    c, carr, sc, names = _kernel_env()
+    t_len = 4000
+    t = np.arange(t_len) / OS_SR
+    env = np.minimum(np.arange(t_len) / 400.0, 1.0)
+    u64 = env * amp * np.sin(2 * np.pi * 1000 * t)
+
+    pa = pamod.make_params(OS_SR)
+
+    def body64(st, x):
+        st, y = pamod.step(pa, st, x, rail_sag=True)
+        return st, y
+
+    _, y64 = jax.lax.scan(body64, pamod.init_state(pa), jnp.asarray(u64))
+    y64 = np.asarray(y64)
+
+    flat = mc.init_state(BASE_SR, 1)
+    st0 = {k: jnp.asarray(v) for k, v in mc.unpack_state(flat).items()}
+
+    def body32(carry, x):
+        st = dict(zip(names, carry))
+        st, y = mc.pa_step(carr, sc, st, x.reshape(1, 1),
+                           jnp.ones((1, 1), jnp.float32))
+        return tuple(st[n] for n in names), y.ravel()
+
+    _, y32 = jax.lax.scan(jax.jit(body32), tuple(st0[n] for n in names),
+                          jnp.asarray(u64, jnp.float32))
+    err = (np.asarray(y32).ravel() - y64)[500:]
+    db = _db(err, y64[500:])
+    assert db < gate_db, f"power amp parity {db:.1f} dB at amp={amp}"
+
+
+def test_tremolo_subsampled_parity():
+    """Subsampled kernel tremolo vs per-sample f64: the shunt trajectory
+    must agree within 2 % and preserve the oscillation rate."""
+    c, carr, sc, names = _kernel_env()
+    n_upd = 3000  # × TREM_SUB_OS os-samples ≈ 0.27 s
+
+    tp = trmod.make_params(OS_SR)
+    st64 = trmod.init_state(OS_SR)
+
+    def body64(st, _):
+        st, shunt = trmod.step(tp, st, 0.5)
+        return st, shunt
+
+    _, shunt64 = jax.lax.scan(body64, st64, None,
+                              length=n_upd * mc.TREM_SUB_OS)
+    shunt64 = np.asarray(shunt64)[mc.TREM_SUB_OS - 1::mc.TREM_SUB_OS]
+
+    flat = mc.init_state(BASE_SR, 1)
+    st0 = {k: jnp.asarray(v) for k, v in mc.unpack_state(flat).items()}
+    ctrl = mc.make_controls(BASE_SR, 1, depth=0.5)
+    cc = dict(carr)
+    cc.update({k: jnp.asarray(v) for k, v in
+               mc.unpack_controls(ctrl).items()})
+
+    def body32(carry, _):
+        st = dict(zip(names, carry))
+        st = mc.trem_update(cc, sc, st)
+        return tuple(st[n] for n in names), 1.0 / st["gldr_cur"].ravel()
+
+    _, shunt32 = jax.lax.scan(jax.jit(body32),
+                              tuple(st0[n] for n in names), None,
+                              length=n_upd)
+    shunt32 = np.asarray(shunt32).ravel()
+    # skip the settling mismatch of the first few cycles
+    s64 = shunt64[n_upd // 2:]
+    s32 = shunt32[n_upd // 2:]
+    rel = np.abs(s32 - s64) / np.abs(s64)
+    assert np.median(rel) < 0.02, f"median shunt deviation {np.median(rel)}"
+    # oscillation rate via mean-crossing count
+    m64 = (s64 > s64.mean()).astype(int)
+    m32 = (s32 > s32.mean()).astype(int)
+    assert abs(np.abs(np.diff(m64)).sum()
+               - np.abs(np.diff(m32)).sum()) <= 2
+
+
+@pytest.mark.slow
+def test_full_chain_parity():
+    """render_cpu vs the f64 module chain in engine order.
+
+    The fast path's error is an ABSOLUTE noise floor (~1.5e-5 V at the
+    preamp output — f32 rounding of the solver's ±80 V internal
+    excursions under LDR shunt, see test_preamp_stage_parity), so the
+    gate is two-sided: relative −30 dB at this small drive level AND
+    absolute ≤ −70 dBFS against the engine's full-scale output of 1.0.
+    At note-level drive the relative parity is −50 dB and better."""
+    c, carr, sc, names = _kernel_env()
+    t_len = 8192
+    tt = np.arange(t_len) / BASE_SR
+    env = np.minimum(np.arange(t_len) / 800.0, 1.0)
+    audio = (env * 0.02 * (np.sin(2 * np.pi * 220 * tt)
+                           + 0.5 * np.sin(2 * np.pi * 440 * tt))
+             ).astype(np.float32)
+
+    y64 = _f64_chain(audio.astype(np.float64), depth=0.5, volume=0.5,
+                     character=0.0)
+
+    ctrl = mc.make_controls(BASE_SR, 1, volume=0.5, depth=0.5,
+                            character=0.0)
+    flat = mc.init_state(BASE_SR, 1)
+    y32, _ = mc.render_cpu(c, ctrl, flat, audio.reshape(-1, 1))
+    y32 = np.asarray(y32).ravel()
+    err = (y32 - y64)[1000:]
+    db = _db(err, y64[1000:])
+    err_dbfs = 20.0 * np.log10(max(np.sqrt(np.mean(err**2)), 1e-30))
+    assert db < -30.0, f"full-chain relative parity {db:.1f} dB"
+    assert err_dbfs < -70.0, f"full-chain abs error {err_dbfs:.1f} dBFS"
+
+
+def _f64_chain(audio, depth, volume, character):
+    """f64 reference: engine.py's mono chain body without voices."""
+    pp = dkp.make_params(OS_SR)
+    tp = trmod.make_params(OS_SR)
+    pa = pamod.make_params(OS_SR)
+    spk_params = spkmod.make_params(BASE_SR)
+    coeffs = spkmod.coeffs_for_character(character, BASE_SR)
+
+    def body(carry, x):
+        os_st, trem, pre, pa_st, spk = carry
+        os_st, (e, o) = allpass.up_step(os_st, x)
+        ys = []
+        for u in (e, o):
+            trem, shunt = trmod.step(tp, trem, depth)
+            g_ldr = dkp.ldr_conductance(shunt)
+            pre, pre_out = dkp.step(pp, pre, g_ldr, u)
+            pa_st, y = pamod.step(pa, pa_st, pre_out * 0.25, rail_sag=True)
+            ys.append(y)
+        os_st, amp_out = allpass.down_step(os_st, ys[0], ys[1])
+        spk, shaped = spkmod.step(spk_params, spk, coeffs, amp_out)
+        from openwurli_tpu import tables
+
+        return (os_st, trem, pre, pa_st, spk), (
+            shaped * tables.POST_SPEAKER_GAIN * volume)
+
+    carry0 = (allpass.init_state(), trmod.init_state(OS_SR),
+              dkp.init_state(pp), pamod.init_state(pa), spkmod.init_state())
+    _, y = jax.lax.scan(body, carry0, jnp.asarray(audio))
+    return np.asarray(y)
