@@ -84,11 +84,31 @@ def _gp_pack(models):
     return gp.pack_bjt_params(models, dtype=np.float64)
 
 
+def _cpu_device():
+    """Local CPU backend for eager f64 setup math (the session may pin a
+    remote accelerator platform where f64 is emulated and eager ops
+    round-trip a tunnel — see __graft_entry__._platforms_with_cpu)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        import os
+
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats:
+            jax.config.update("jax_platforms", plats + ",cpu")
+        return jax.devices("cpu")[0]
+
+
 @functools.lru_cache(maxsize=None)
 def pack_consts(base_sr: float) -> ChainConsts:
     # Must run eagerly with x64 on: the f64 module param builders lose
     # precision if first traced under the kernel's x32 context.
     assert jax.config.jax_enable_x64, "pack_consts requires x64"
+    with jax.default_device(_cpu_device()):
+        return _pack_consts_impl(base_sr)
+
+
+def _pack_consts_impl(base_sr: float) -> ChainConsts:
     os_sr = 2.0 * float(base_sr)
     A = {}
     S = {}
@@ -332,12 +352,15 @@ STATE_SPEC = (
     ("spk_hpf", 2), ("spk_lpf", 2), ("spk_thermal", 1),
     ("guard_fires", 1),
 )
-STATE_ROWS = sum(r for _, r in STATE_SPEC)
+# Each component is padded to an 8-row (sublane tile) boundary in the
+# packed layout: slices then carry tile-aligned layouts — Mosaic crashes
+# concatenating vectors whose layouts have different sublane offsets.
 _OFFSETS = {}
 _off = 0
 for _name, _r in STATE_SPEC:
     _OFFSETS[_name] = (_off, _off + _r)
-    _off += _r
+    _off += -(-_r // 8) * 8
+STATE_ROWS = _off
 
 CTRL_SPEC = (
     ("volume", 1), ("rail_sag", 1), ("div_top", 1), ("r_lower", 1),
@@ -357,7 +380,15 @@ def unpack_state(flat):
 
 
 def pack_state(st):
-    return jnp.concatenate([st[name] for name, _ in STATE_SPEC], axis=0)
+    blocks = []
+    for name, r in STATE_SPEC:
+        v = st[name]
+        pad = -(-r // 8) * 8 - r
+        if pad:
+            v = jnp.concatenate(
+                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0)
+        blocks.append(v)
+    return jnp.concatenate(blocks, axis=0)
 
 
 def init_state(base_sr: float, n_streams: int) -> np.ndarray:
@@ -388,6 +419,13 @@ def init_state(base_sr: float, n_streams: int) -> np.ndarray:
 def make_controls(base_sr, n_streams, volume=0.5, depth=0.5, character=0.0,
                   rail_sag=True) -> np.ndarray:
     """(CTRL_ROWS, S) f32. Scalars broadcast; arrays may be per-stream."""
+    with jax.default_device(_cpu_device()):
+        return _make_controls_impl(base_sr, n_streams, volume, depth,
+                                   character, rail_sag)
+
+
+def _make_controls_impl(base_sr, n_streams, volume, depth, character,
+                        rail_sag) -> np.ndarray:
     S = n_streams
     rows = np.zeros((CTRL_ROWS, S), dtype=f32)
 
@@ -451,27 +489,33 @@ def _rep(x, n):
 def _ge_solve_flat(cols, rhs, m):
     """Per-stream m×m solve: cols = list of m (m,S) matrix columns, rhs
     (m,S). Flat (m, (m+1)·S) Gaussian elimination, no pivoting (NR
-    Jacobians here are unit-dominant I − K·J). Returns x (m,S)."""
+    Jacobians here are unit-dominant I − K·J). Returns x (m,S).
+
+    Each elimination step only touches the not-yet-eliminated column
+    blocks (the flat array is re-assembled from the untouched prefix) —
+    ~47 % less VPU data than updating the full width every step."""
     s_lanes = rhs.shape[-1]
     flat = jnp.concatenate(cols + [rhs], axis=1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     invs = []
+    u_cols = []  # frozen upper-triangular column blocks, in order
     for k in range(m):
-        pivcol = flat[:, k * s_lanes:(k + 1) * s_lanes]
+        pivcol = flat[:, 0:s_lanes]
         piv = pivcol[k:k + 1, :]
         inv = 1.0 / jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
         invs.append(inv)
+        u_cols.append(pivcol)
         below = jnp.where(iota > k, pivcol, 0.0) * inv
-        flat = flat - _rep(below, m + 1) * flat[k:k + 1, :]
+        rest = flat[:, s_lanes:]
+        flat = rest - _rep(below, m - k) * rest[k:k + 1, :]
     # back substitution (U unnormalised; invs hold 1/diag)
-    acc = flat[:, m * s_lanes:(m + 1) * s_lanes]
+    acc = flat  # (m, S): the fully-eliminated rhs
     xs = [None] * m
     for k in range(m - 1, -1, -1):
         xk = acc[k:k + 1, :] * invs[k]
         xs[k] = xk
         if k:
-            ucol = flat[:, k * s_lanes:(k + 1) * s_lanes]
-            acc = acc - jnp.where(iota < k, ucol, 0.0) * xk
+            acc = acc - jnp.where(iota < k, u_cols[k], 0.0) * xk
     return jnp.concatenate(xs, axis=0)
 
 
@@ -514,7 +558,8 @@ def trem_update(c, sc, st):
     gpp = _gp_dict(c["trem_gp"], 2)
 
     big = jnp.dot(P, jnp.concatenate([z, di], axis=0),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     z_new = big[0:7]
     p_dev = big[7:11]
 
@@ -525,7 +570,8 @@ def trem_update(c, sc, st):
         i_abs = jnp.concatenate([ib, ic], axis=0)
         f = ((vnl - vnl_dc) - p_dev - corr0
              - jnp.dot(K, i_abs - i_dc,
-                       preferred_element_type=jnp.float32))
+                       preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST))
         cols = []
         for j in range(4):
             b = j % 2
@@ -577,7 +623,8 @@ def preamp_step(c, sc, st, u_main, gldr):
     col_fb, col_b1 = _col(cols, 0), _col(cols, 1)
     col_e1c1, col_e2c2 = _col(cols, 2), _col(cols, 3)
 
-    sad = jnp.dot(c["pre_SA"], d, preferred_element_type=jnp.float32)
+    sad = jnp.dot(c["pre_SA"], d, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     halves = []
     for t in range(2):  # 0 = main, 1 = shadow
         dh = d[8 * t:8 * t + 8]
@@ -676,7 +723,8 @@ def pa_step(c, sc, st, x, rail_sag):
 
     big = jnp.dot(c["pa_P"], jnp.concatenate([st["pa_z"], st["pa_di"]],
                                              axis=0),
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     z_new = (big[0:21] + _col(c["pa_cols"], 0) * x
              + _col(c["pa_cols"], 1) * off_p
              + _col(c["pa_cols"], 2) * off_n)
@@ -703,12 +751,15 @@ def pa_step(c, sc, st, x, rail_sag):
         ib_, ic_ = gp.bjt_currents_packed(gpp, v[0:8], v[8:16])
         i_ = jnp.concatenate([ib_, ic_], axis=0)
         f_ = ((v - vnl_dc) - p_dev - corr0
-              - jnp.dot(K, i_ - i_dc, preferred_element_type=jnp.float32))
+              - jnp.dot(K, i_ - i_dc, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST))
         return f_, i_
 
     f, i_abs = resid(vnl)
     fn0 = jnp.max(jnp.abs(f), axis=0, keepdims=True)
-    for _ in range(N_PA_ITERS):
+
+    def nr_body(_k, carry):
+        vnl, f, i_abs = carry
         vbe, vbc = vnl[0:8], vnl[8:16]
         _, _, gbb, gbc, gcb, gcc = gp.bjt_currents_derivs_packed(
             gpp, vbe, vbc)
@@ -726,6 +777,14 @@ def pa_step(c, sc, st, x, rail_sag):
         dv = jnp.where(fn < PA_CONV_TOL, 0.0, dv)
         vnl = _pnjlim(vnl, vnl - dv, nvt_col, vcrit_col)
         f, i_abs = resid(vnl)
+        return vnl, f, i_abs
+
+    # Fixed iteration budget: an early-exit while_loop measured SLOWER —
+    # with ≥128 streams advancing the same sample, some stream is almost
+    # always mid-crossover, so the all-streams-converged exit never fires
+    # and the per-iteration scalar reduction is pure overhead.
+    vnl, f, i_abs = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(N_PA_ITERS), nr_body, (vnl, f, i_abs))
 
     fn_final = jnp.max(jnp.abs(f), axis=0, keepdims=True)
     # Explosion reset: if NR ended farther than it started (limexp wall),
@@ -790,21 +849,38 @@ def pa_step(c, sc, st, x, rail_sag):
 def base_step(c, sc, st, x):
     """One base-rate sample: oversample → 2×(preamp→amp) → speaker."""
     ctrl = c  # controls are merged into the consts dict
-    ua, e = _allpass_step(sc["os_a"], st["os_ua"], x)
-    ub, o = _allpass_step(sc["os_b"], st["os_ub"], x)
     st = dict(st)
-    st["os_ua"], st["os_ub"] = ua, ub
+    if ENABLE_OS:
+        ua, e = _allpass_step(sc["os_a"], st["os_ua"], x)
+        ub, o = _allpass_step(sc["os_b"], st["os_ub"], x)
+        st["os_ua"], st["os_ub"] = ua, ub
+    else:
+        e = o = x
 
     gldr = st["gldr_cur"]
     ys = []
     for u in (e, o):
-        st, pre_out = preamp_step(c, sc, st, u, gldr)
-        st, y = pa_step(c, sc, st, pre_out * sc["drive"], ctrl["rail_sag"])
+        if ENABLE_PRE:
+            st, pre_out = preamp_step(c, sc, st, u, gldr)
+        else:
+            pre_out = u
+        if ENABLE_PA:
+            st, y = pa_step(c, sc, st, pre_out * sc["drive"],
+                            ctrl["rail_sag"])
+        else:
+            y = pre_out
         ys.append(y)
-    da, a = _allpass_step(sc["os_a"], st["os_da"], ys[0])
-    db, b = _allpass_step(sc["os_b"], st["os_db"], ys[1])
-    amp_out = (a + st["os_delay"]) * 0.5
-    st["os_da"], st["os_db"], st["os_delay"] = da, db, b
+    if ENABLE_OS:
+        da, a = _allpass_step(sc["os_a"], st["os_da"], ys[0])
+        db, b = _allpass_step(sc["os_b"], st["os_db"], ys[1])
+        amp_out = (a + st["os_delay"]) * 0.5
+        st["os_da"], st["os_db"], st["os_delay"] = da, db, b
+    else:
+        amp_out = ys[0]
+    if not ENABLE_SPK:
+        out = amp_out * sc["post_gain"] * ctrl["volume"]
+        st["guard_fires"] = st["guard_fires"] + 0.0
+        return st, out
 
     # Speaker (speaker.rs behavioral chain)
     a2, a3 = ctrl["a2"], ctrl["a3"]
@@ -860,6 +936,23 @@ def _merged_consts(consts: ChainConsts, controls):
     return c, dict(consts.scalars)
 
 
+# Trace-time knockout switches for kernel cost profiling (tools/ only —
+# production paths leave these True).
+ENABLE_TREM = True
+ENABLE_PRE = True
+ENABLE_PA = True
+ENABLE_SPK = True
+ENABLE_OS = True
+
+
+def sample_step(c, sc, st, x, do_trem):
+    """One base sample; tremolo refreshed when do_trem (every SUB_BASE)."""
+    if ENABLE_TREM:
+        st = jax.lax.cond(do_trem, lambda s: trem_update(c, sc, s),
+                          lambda s: s, st)
+    return base_step(c, sc, st, x)
+
+
 def render_cpu(consts: ChainConsts, controls, state_flat, audio):
     """Scan twin of the kernel: audio (T, S) f32 → (out (T, S), state').
 
@@ -870,21 +963,19 @@ def render_cpu(consts: ChainConsts, controls, state_flat, audio):
     st = unpack_state(jnp.asarray(state_flat))
     t, s = audio.shape
     assert t % SUB_BASE == 0, t
-    groups = audio.reshape(t // SUB_BASE, SUB_BASE, 1, s).astype(jnp.float32)
-
     names = [n for n, _ in STATE_SPEC]
+    do_trem = (jnp.arange(t, dtype=jnp.int32) % SUB_BASE) == 0
 
-    def group_body(carry, xs):
+    def body(carry, xs):
+        x, dt_ = xs
         st = dict(zip(names, carry))
-        st = trem_update(c, sc, st)
-        outs = []
-        for i in range(SUB_BASE):
-            st, y = base_step(c, sc, st, xs[i])
-            outs.append(y)
-        return tuple(st[n] for n in names), jnp.concatenate(outs, axis=0)
+        st, y = sample_step(c, sc, st, x, dt_)
+        return tuple(st[n] for n in names), y
 
     carry0 = tuple(st[n] for n in names)
-    carry, outs = jax.lax.scan(group_body, carry0, groups)
+    carry, outs = jax.lax.scan(
+        body, carry0,
+        (audio.reshape(t, 1, s).astype(jnp.float32), do_trem))
     st = dict(zip(names, carry))
     return outs.reshape(t, s), pack_state(st)
 
@@ -912,26 +1003,29 @@ def _make_kernel(scalars, n_tiles, t_tile):
         c = {name: ref[:] for name, ref in zip(ARRAY_NAMES, arefs)}
         c.update(unpack_controls(ctrl_ref[:]))
 
-        names = [n for n, _ in STATE_SPEC]
-        st0 = unpack_state(state_scratch[:])
-        carry0 = tuple(st0[n] for n in names)
+        # State lives in the scratch ref and is re-read/re-written by row
+        # slices every iteration: Mosaic charges ~2-3 µs/iteration for
+        # EACH array carried through a fori_loop, while ref slice traffic
+        # is nanoseconds — a 25-array state carry cost 26 µs/sample.
+        def body(i, carry):
+            # Tremolo under pl.when (a lax.cond would carry the whole
+            # state pytree through both branches at fori-carry prices).
+            if ENABLE_TREM:
+                @pl.when(jax.lax.rem(i, jnp.int32(SUB_BASE)) == 0)
+                def _trem():
+                    st_t = unpack_state(state_scratch[:])
+                    st_t = trem_update(c, sc, st_t)
+                    state_scratch[:] = pack_state(st_t)
 
-        n_groups = t_tile // SUB_BASE
+            st = unpack_state(state_scratch[:])
+            x = audio_ref[pl.ds(i, 1), :]
+            st, y = base_step(c, sc, st, x)
+            out_ref[pl.ds(i, 1), :] = y
+            state_scratch[:] = pack_state(st)
+            return carry
 
-        def group_body(g, carry):
-            st = dict(zip(names, carry))
-            st = trem_update(c, sc, st)
-            for i in range(SUB_BASE):
-                row = g * SUB_BASE + i
-                x = audio_ref[pl.ds(row, 1), :]
-                st, y = base_step(c, sc, st, x)
-                out_ref[pl.ds(row, 1), :] = y
-            return tuple(st[n] for n in names)
-
-        carry = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_groups),
-                                  group_body, carry0)
-        st = dict(zip(names, carry))
-        state_scratch[:] = pack_state(st)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile), body,
+                          jnp.float32(0.0))
 
         @pl.when(tile == n_tiles - 1)
         def _fin():

@@ -54,9 +54,18 @@ def _lcg(st):
     return st * jnp.uint32(1664525) + jnp.uint32(1013904223)
 
 
-def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
-            q_ref, nstate_ref, irng_ref, nf_ref):
-    """One grid step renders T_TILE samples for all LANES voices."""
+def _make_kernel(t_tile):
+    def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
+                q_ref, nstate_ref, irng_ref, nf_ref):
+        return _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref,
+                            env_ref, drift_ref, q_ref, nstate_ref,
+                            irng_ref, nf_ref)
+    return _kernel
+
+
+def _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref, env_ref,
+                 drift_ref, q_ref, nstate_ref, irng_ref, nf_ref):
+    """One grid step renders t_tile samples for all lanes voices."""
     tile = pl.program_id(0)
 
     @pl.when(tile == 0)
@@ -100,7 +109,7 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
     na1 = nz[5:6, :]
     na2 = nz[6:7, :]
 
-    base_n = tile * T_TILE
+    base_n = tile * t_tile
 
     # Mosaic's scalar int→float convert lowering recurses in this jax
     # version, so the sample index is ALSO carried as an f32 running
@@ -207,7 +216,7 @@ def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
 
     # i32 bounds: under jax_enable_x64 python-int bounds make the loop
     # index i64, and Mosaic's i64→i32 convert lowering recurses infinitely.
-    nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(T_TILE),
+    nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile),
                                      body, nf_ref[0, 0])
 
 
@@ -216,7 +225,8 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False):
 
     params: (N_ROWS, 8, V) f32 with V a multiple of 128 (see
     make_kernel_params — the per-kernel-step cost on this platform is a
-    near-constant floor, so WIDE voice counts amortise it).
+    near-constant floor, so WIDE voice counts amortise it). The output
+    tile shrinks automatically at wide V to stay within VMEM.
     Returns (num_samples, V) f32 post-pickup voice outputs.
 
     Runs under an x32 config context: jax_enable_x64 (on globally for the
@@ -224,21 +234,33 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False):
     even for trivial kernels on this stack.
     """
     with jax.enable_x64(False):
-        return _render_voice_bank_jit(params, num_samples, interpret)
+        lanes = params.shape[-1]
+        if lanes <= 8192:
+            return _render_voice_bank_jit(params, num_samples, interpret)
+        # Wider banks exceed VMEM (params are pipeline-double-buffered):
+        # render in 8192-lane chunks and stitch.
+        chunks = [
+            _render_voice_bank_jit(params[..., i:i + 8192], num_samples,
+                                   interpret)
+            for i in range(0, lanes, 8192)]
+        return jnp.concatenate(chunks, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _render_voice_bank_jit(params, num_samples: int, interpret: bool):
     lanes = params.shape[-1]
-    n_tiles = (num_samples + T_TILE - 1) // T_TILE
-    total = n_tiles * T_TILE
+    # Output tile ≤ ~1 MB so params + scratch + double-buffered output
+    # stay inside the 16 MB VMEM budget at wide lane counts.
+    t_tile = max(32, min(T_TILE, (1 << 20) // (lanes * 4) // 32 * 32))
+    n_tiles = (num_samples + t_tile - 1) // t_tile
+    total = n_tiles * t_tile
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(t_tile),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((N_ROWS, SUBLANES, lanes),
                                lambda t: (0, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((T_TILE, lanes), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((t_tile, lanes), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((total, lanes), jnp.float32),
         scratch_shapes=[
