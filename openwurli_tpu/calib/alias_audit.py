@@ -93,11 +93,15 @@ def analyze(signal, sample_rate, nominal_f0) -> AliasAuditResult:
 
 
 def render_stimulus(note, velocity=STIMULUS_VELOCITY,
-                    sample_rate=STIMULUS_SAMPLE_RATE):
-    """Canonical stimulus render through the full engine."""
+                    sample_rate=STIMULUS_SAMPLE_RATE, pa_model="circuit"):
+    """Canonical stimulus render through the full engine.
+
+    pa_model="behavioral" reproduces the reference's v0.5.1 alias-audit
+    baseline config (its committed baselines/alias_audit_v0_5_1.json was
+    captured with the behavioral power amp, per its _comment)."""
     from openwurli_tpu.engine import Engine
 
-    eng = Engine(sample_rate)
+    eng = Engine(sample_rate, pa_model=pa_model)
     eng.set_volume(STIMULUS_VOLUME)
     eng.set_tremolo_depth(0.0)
     eng.set_speaker_character(0.0)
@@ -108,12 +112,13 @@ def render_stimulus(note, velocity=STIMULUS_VELOCITY,
     return np.asarray(out, dtype=np.float64)
 
 
-def run_with_note(note, velocity=STIMULUS_VELOCITY):
-    signal = render_stimulus(note, velocity)
+def run_with_note(note, velocity=STIMULUS_VELOCITY, pa_model="circuit"):
+    signal = render_stimulus(note, velocity, pa_model=pa_model)
     return analyze(signal, STIMULUS_SAMPLE_RATE, _midi_hz(note))
 
 
-def run_sweep():
+def run_sweep(pa_model="circuit"):
     """The canonical 3-note sweep (C5, C6, G6 at v=120)."""
-    return [(note, STIMULUS_VELOCITY, run_with_note(note))
+    return [(note, STIMULUS_VELOCITY,
+             run_with_note(note, pa_model=pa_model))
             for note in STIMULUS_NOTES]

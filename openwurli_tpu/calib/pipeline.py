@@ -93,12 +93,13 @@ def stage_extract_harmonics(args):
 
 
 def stage_render_model(args):
-    """Render matching (midi, velocity-bucket) notes through the DI chain —
-    the whole unique set in ONE batched render."""
+    """Render matching (midi, velocity-bucket) notes through the DI chain
+    (reed → pickup → 2×OS preamp, ml/render_model_notes.py:49-60) — the
+    whole unique set in ONE batched render."""
     import jax.numpy as jnp
 
     from openwurli_tpu.calib import harmonics, residuals
-    from openwurli_tpu import voice
+    from openwurli_tpu import di
 
     feats = json.load(open(os.path.join(args.data_dir, "harmonics.json")))
     pairs = sorted({(n["midi_note"],
@@ -110,8 +111,8 @@ def stage_render_model(args):
     sr = 44100.0
     midis = jnp.asarray([p[0] for p in pairs], dtype=jnp.float64)
     vels = jnp.asarray([(p[1] + 0.5) / N_VELOCITY_BUCKETS for p in pairs])
-    audio = np.asarray(voice.render_note(midis, vels, args.model_seconds,
-                                         sr, mlp_enabled=False))
+    audio = di.render_di(midis, vels, args.model_seconds, sr,
+                         mlp_enabled=False)
     model_feats = {}
     for k, (midi, bucket) in enumerate(pairs):
         f = harmonics.extract_note_features(

@@ -105,7 +105,16 @@ class MelangePreampState(NamedTuple):
 @lru_cache(maxsize=None)
 def make_params(sample_rate) -> MelangePreampParams:
     nl = _cached_netlist()
-    solver = mna.make_solver_params(nl, sample_rate, integrator="trap")
+    # DC operating point WITH the R_ldr branch: at DC the LDR path loads
+    # the output through R10 (the reference's baked DC_OP includes it,
+    # gen_preamp.rs:1568-1583 — its fb sits at the out·R_ldr/(R10+R_ldr)
+    # divider). The runtime matrices stay LDR-free (Sherman-Morrison).
+    nl_dc = build_netlist()
+    nl_dc.r("fb", "0", R_LDR_INIT)
+    v_dc, i_dc, v_nl_dc = mna.dc_solve(nl_dc)
+    solver = mna.make_solver_params(nl, sample_rate, integrator="trap",
+                                    v_dc=v_dc, i_dc=i_dc,
+                                    v_nl_dc=v_nl_dc)
     asm = nl.assemble()
     fb = nl._nodes["fb"]
     s = np.asarray(solver.s)

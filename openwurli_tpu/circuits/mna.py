@@ -363,6 +363,29 @@ class SolverParams(NamedTuple):
     i_dc: jnp.ndarray     # (M,) device currents at DC OP
     v_nl_dc: jnp.ndarray  # (M,) port voltages at DC OP
     trap_i_hist: jnp.ndarray  # scalar: 1.0 (trap: rhs += N_i i_prev) or 0.0
+    # Backward-Euler fallback variant (== primary when integrator="be"):
+    # the dissipative integrator the solver replays failed samples with
+    # and holds for FALLBACK_COOLDOWN samples (gen_preamp.rs:3482-3568).
+    s_be: jnp.ndarray
+    a_hist_be: jnp.ndarray
+    s_ni_be: jnp.ndarray
+    k_be: jnp.ndarray
+    w_scale_be: jnp.ndarray
+
+
+class SolverDiag(NamedTuple):
+    """Per-stream robustness diagnostics (gen_preamp.rs diag_* counters)."""
+
+    cooldown: jnp.ndarray   # (...,) i32 — BE-fallback samples remaining
+    nr_fail: jnp.ndarray    # (...,) i32 — NR non-convergence / ringing
+    nan_reset: jnp.ndarray  # (...,) i32 — NaN → DC-OP resets
+    damp: jnp.ndarray       # (...,) i32 — voltage-damping net hits
+    be_steps: jnp.ndarray   # (...,) i32 — samples integrated with BE
+
+
+def init_diag(batch_shape=()) -> SolverDiag:
+    z = jnp.zeros(batch_shape, dtype=jnp.int32)
+    return SolverDiag(z, z, z, z, z)
 
 
 class SolverState(NamedTuple):
@@ -370,6 +393,13 @@ class SolverState(NamedTuple):
     i_nl: jnp.ndarray     # (..., M) previous device currents
     v_nl: jnp.ndarray     # (..., M) previous port voltages (NR warm start)
     nr_resid: jnp.ndarray  # (...,) f64 — last solve's final NR residual [V]
+    diag: SolverDiag
+
+
+FALLBACK_COOLDOWN = 64   # samples of BE after a failure (gen_preamp.rs)
+RINGING_VOLTS = 55.0     # node-swing threshold triggering fallback
+DAMP_VOLTS = 30.0        # per-sample node-delta voltage-damping net
+FAIL_RESID = 1e-3        # NR residual counted as a failure [V]
 
 
 def dc_solve(netlist: Netlist, n_iter=300, clamp=0.1, source_steps=8):
@@ -458,12 +488,21 @@ def make_solver_params(netlist: Netlist, sample_rate, integrator="trap",
     if v_dc is None:
         v_dc, i_dc, v_nl_dc = dc_solve(netlist)
 
+    # BE fallback variant (identical to primary when integrator="be").
+    a_be = g + (1.0 / t) * c_mat
+    s_be = np.linalg.inv(a_be)
+    a_hist_be = (1.0 / t) * c_mat
+    w_scale_be = np.ones(a.shape[0])
+
     f64 = lambda x: jnp.asarray(x, dtype=jnp.float64)
     return SolverParams(
         s=f64(s), a_hist=f64(a_hist), n_v=f64(n_v), n_i=f64(n_i),
         s_ni=f64(s @ n_i), k=f64(n_v @ s @ n_i), w=f64(w),
         w_scale=f64(w_scale), v_dc=f64(v_dc), i_dc=f64(i_dc),
         v_nl_dc=f64(v_nl_dc), trap_i_hist=f64(trap_i),
+        s_be=f64(s_be), a_hist_be=f64(a_hist_be),
+        s_ni_be=f64(s_be @ n_i), k_be=f64(n_v @ s_be @ n_i),
+        w_scale_be=f64(w_scale_be),
     )
 
 
@@ -474,6 +513,7 @@ def init_state(params: SolverParams, batch_shape=()) -> SolverState:
         v_nl=jnp.broadcast_to(params.v_nl_dc,
                               batch_shape + params.v_nl_dc.shape),
         nr_resid=jnp.zeros(batch_shape, dtype=jnp.float64),
+        diag=init_diag(batch_shape),
     )
 
 
@@ -540,15 +580,16 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
     # iteration-count criterion.
     nr_iters_fixed = nr_iters if nr_iters is not None else min(max_iter, 16)
 
-    def nr_solve(p, v_nl0):
+    def nr_solve(p, v_nl0, k_eff):
         """Solve v_nl = p + K i(v_nl): fixed-count masked NR, inline GE."""
 
         def body(_, carry):
             v_nl, done = carry
             i_nl = dev_fn(v_nl)
-            f = v_nl - p - jnp.einsum("ij,...j->...i", params.k, i_nl)
+            f = v_nl - p - jnp.einsum("...ij,...j->...i", k_eff, i_nl)
             jdev = dev_jac(v_nl)
-            jac = jnp.eye(m) - jnp.einsum("ij,...jk->...ik", params.k, jdev)
+            jac = jnp.eye(m) - jnp.einsum("...ij,...jk->...ik", k_eff,
+                                          jdev)
             dv = ge_solve_f32(jac, f)
             # Step limiting: ≤ 2 V linear travel per iteration, then
             # SPICE pnjlim compression for forward-junction overshoots
@@ -568,20 +609,75 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
         v_nl, done = jax.lax.fori_loop(0, nr_iters_fixed, body,
                                        (v_nl0, done0))
         # Final residual for divergence detection (replaces iter counts).
-        f = v_nl - p - jnp.einsum("ij,...j->...i", params.k, dev_fn(v_nl))
+        f = v_nl - p - jnp.einsum("...ij,...j->...i", k_eff,
+                                  dev_fn(v_nl))
         resid = jnp.max(jnp.abs(f), axis=-1)
         return v_nl, resid
 
-    def step(state: SolverState, w_extra, _unused_x=None):
-        rhs = jnp.einsum("ij,...j->...i", params.a_hist, state.v)
-        rhs = rhs + params.w_scale * params.w + w_extra
-        rhs = rhs + params.trap_i_hist * jnp.einsum(
+    n_nodes_net = netlist.n_nodes
+
+    def solve_once(state, w_extra, use_be):
+        """One integration step with per-stream integrator selection."""
+        sel = use_be[..., None, None]
+        a_hist = jnp.where(sel, params.a_hist_be, params.a_hist)
+        s_mat = jnp.where(sel, params.s_be, params.s)
+        s_ni = jnp.where(sel, params.s_ni_be, params.s_ni)
+        k_eff = jnp.where(sel, params.k_be, params.k)
+        w_sc = jnp.where(use_be[..., None], params.w_scale_be,
+                         params.w_scale)
+        trap_i = jnp.where(use_be, 0.0, params.trap_i_hist)
+
+        rhs = jnp.einsum("...ij,...j->...i", a_hist, state.v)
+        rhs = rhs + w_sc * params.w + w_extra
+        rhs = rhs + trap_i[..., None] * jnp.einsum(
             "im,...m->...i", params.n_i, state.i_nl)
-        v_lin = jnp.einsum("ij,...j->...i", params.s, rhs)
+        v_lin = jnp.einsum("...ij,...j->...i", s_mat, rhs)
         p = jnp.einsum("mi,...i->...m", params.n_v, v_lin)
-        v_nl, resid = nr_solve(p, state.v_nl)
+        v_nl, resid = nr_solve(p, state.v_nl, k_eff)
         i_new = dev_fn(v_nl)
-        v = v_lin + jnp.einsum("im,...m->...i", params.s_ni, i_new)
+        v = v_lin + jnp.einsum("...im,...m->...i", s_ni, i_new)
+        return v, i_new, v_nl, resid
+
+    def step(state: SolverState, w_extra, _unused_x=None):
+        """Robustness ladder (gen_preamp.rs:3482-3641): trapezoidal
+        primary → failure detection (NR residual / node ringing /
+        non-finite) → masked backward-Euler replay of the failed sample
+        with a FALLBACK_COOLDOWN-sample BE hold → adaptive voltage
+        damping → NaN reset to the DC OP, all counted in SolverDiag."""
+        dg = state.diag
+        use_be = dg.cooldown > 0
+        v, i_new, v_nl, resid = solve_once(state, w_extra, use_be)
+
+        def failed(v_, resid_):
+            node_v = v_[..., :n_nodes_net]
+            ring = jnp.max(jnp.abs(node_v), axis=-1) > RINGING_VOLTS
+            nonfin = ~jnp.all(jnp.isfinite(v_), axis=-1)
+            return (resid_ > FAIL_RESID) | ring | nonfin
+
+        fail1 = failed(v, resid)
+        replay = fail1 & ~use_be
+
+        def do_replay(args):
+            v_, i_, vnl_, res_ = args
+            vb, ib, vnlb, resb = solve_once(state, w_extra,
+                                            jnp.ones_like(use_be))
+            sel = replay[..., None]
+            return (jnp.where(sel, vb, v_), jnp.where(sel, ib, i_),
+                    jnp.where(sel, vnlb, vnl_),
+                    jnp.where(replay, resb, res_))
+
+        v, i_new, v_nl, resid = jax.lax.cond(
+            jnp.any(replay), do_replay, lambda a: a,
+            (v, i_new, v_nl, resid))
+        fail = failed(v, resid)
+
+        # Adaptive voltage damping: cap the per-sample node swing.
+        dv = v - state.v
+        dv_max = jnp.max(jnp.abs(dv), axis=-1)
+        damp_hit = jnp.isfinite(dv_max) & (dv_max > DAMP_VOLTS)
+        scale = jnp.where(damp_hit, DAMP_VOLTS / jnp.maximum(dv_max, 1e-30),
+                          1.0)
+        v = state.v + dv * scale[..., None]
 
         # NaN guard: masked reset to DC OP.
         bad = ~jnp.all(jnp.isfinite(v), axis=-1)
@@ -589,9 +685,18 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
         i_new = jnp.where(bad[..., None], params.i_dc, i_new)
         v_nl = jnp.where(bad[..., None], params.v_nl_dc, v_nl)
 
+        cooldown = jnp.where(fail, jnp.int32(FALLBACK_COOLDOWN),
+                             jnp.maximum(dg.cooldown - 1, 0))
+        diag = SolverDiag(
+            cooldown=cooldown,
+            nr_fail=dg.nr_fail + fail.astype(jnp.int32),
+            nan_reset=dg.nan_reset + bad.astype(jnp.int32),
+            damp=dg.damp + damp_hit.astype(jnp.int32),
+            be_steps=dg.be_steps + (use_be | replay).astype(jnp.int32),
+        )
         return SolverState(
             v=v, i_nl=i_new, v_nl=v_nl,
-            nr_resid=jnp.broadcast_to(resid, bad.shape),
+            nr_resid=jnp.broadcast_to(resid, bad.shape), diag=diag,
         ), v
 
     return step

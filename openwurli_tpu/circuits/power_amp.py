@@ -252,6 +252,7 @@ def step(params: PowerAmpParams, state: PowerAmpState, x, rail_sag=True):
         i_nl=jnp.where(reset[..., None], clean.i_nl, circuit.i_nl),
         v_nl=jnp.where(reset[..., None], clean.v_nl, circuit.v_nl),
         nr_resid=circuit.nr_resid,
+        diag=circuit.diag,
     )
     clamped = jnp.clip(result, -1.0, 1.0)
     out = jnp.where(bad, state.last_good, clamped)

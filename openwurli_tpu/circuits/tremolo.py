@@ -149,6 +149,7 @@ def settled_osc_state(sample_rate):
                 i_nl=jnp.asarray(z[f"{key}_i"], dtype=jnp.float64),
                 v_nl=jnp.asarray(z[f"{key}_vnl"], dtype=jnp.float64),
                 nr_resid=jnp.zeros((), dtype=jnp.float64),
+                diag=mna.init_diag(),
             )
 
     params = make_params(sample_rate)
@@ -178,6 +179,7 @@ def init_state(sample_rate, batch_shape=()) -> TremoloState:
         i_nl=jnp.broadcast_to(osc.i_nl, batch_shape + osc.i_nl.shape),
         v_nl=jnp.broadcast_to(osc.v_nl, batch_shape + osc.v_nl.shape),
         nr_resid=jnp.broadcast_to(osc.nr_resid, batch_shape),
+        diag=mna.init_diag(batch_shape),
     )
     return TremoloState(
         osc=osc_b,

@@ -121,31 +121,9 @@ def _render_di(note, velocity, duration, sr):
 
     Matches the reference's `preamp-bench render` chain (the path the ML
     pipeline's model renders use — no amp/speaker)."""
-    import jax
-    import jax.numpy as jnp
+    from openwurli_tpu import di
 
-    from openwurli_tpu import voice
-    from openwurli_tpu.circuits import dk_preamp as dk
-    from openwurli_tpu.ops import allpass
-
-    di = voice.render_note(note, velocity, duration, sr, mlp_enabled=True)
-    pre_params = dk.make_params(sr * 2.0)
-    g = dk.ldr_conductance(1_000_000.0)
-
-    @jax.jit
-    def chain(xs):
-        def body(carry, x):
-            os_st, pre = carry
-            os_st, (e, o) = allpass.up_step(os_st, x)
-            pre, y0 = dk.step(pre_params, pre, g, e)
-            pre, y1 = dk.step(pre_params, pre, g, o)
-            os_st, y = allpass.down_step(os_st, y0, y1)
-            return (os_st, pre), y
-
-        carry = (allpass.init_state(), dk.init_state(pre_params))
-        return jax.lax.scan(body, carry, xs)[1]
-
-    return np.asarray(chain(jnp.asarray(di)))
+    return di.render_di(note, velocity, duration, sr, mlp_enabled=True)
 
 
 def cmd_render(args):

@@ -118,10 +118,18 @@ class Engine:
     tools can vmap/shard whole engines.
     """
 
-    def __init__(self, sample_rate: float, preamp_model: str = "dk"):
+    def __init__(self, sample_rate: float, preamp_model: str = "dk",
+                 pa_model: str = "circuit"):
+        """pa_model: "circuit" (melange-equivalent 8-BJT solver, the
+        reference's default binary) or "behavioral" (the reference's
+        legacy-power-amp closed-loop NR model, power_amp.rs:167-276 —
+        the config its committed alias-audit baseline was captured
+        with)."""
         assert preamp_model in ("dk", "melange"), preamp_model
+        assert pa_model in ("circuit", "behavioral"), pa_model
         self.sample_rate = float(sample_rate)
         self.preamp_model = preamp_model
+        self.pa_model = pa_model
         self.oversample = self.sample_rate < 88_200.0
         self.os_sample_rate = (self.sample_rate * 2.0 if self.oversample
                                else self.sample_rate)
@@ -145,12 +153,13 @@ class Engine:
     # rate, not once per instance.
     def __hash__(self):
         return hash(("openwurli_tpu.Engine", self.sample_rate,
-                     self.preamp_model))
+                     self.preamp_model, self.pa_model))
 
     def __eq__(self, other):
         return (isinstance(other, Engine)
                 and other.sample_rate == self.sample_rate
-                and other.preamp_model == self.preamp_model)
+                and other.preamp_model == self.preamp_model
+                and other.pa_model == self.pa_model)
 
     # ── state construction ───────────────────────────────────────────────
 
@@ -311,6 +320,22 @@ class Engine:
     def nan_guard_fires(self):
         return int(self.state.nan_guard_fires)
 
+    def power_amp_diag(self):
+        """Solver robustness counters (WurliEngine::power_amp_diag,
+        engine.rs:418-420): all stay 0 on normal content."""
+        import numpy as np
+
+        d = self.state.pa.circuit.diag
+        return {k: int(np.sum(np.asarray(v)))
+                for k, v in d._asdict().items()}
+
+    def tremolo_diag(self):
+        import numpy as np
+
+        d = self.state.trem.osc.diag
+        return {k: int(np.sum(np.asarray(v)))
+                for k, v in d._asdict().items()}
+
 
 # ── functional core ──────────────────────────────────────────────────────
 
@@ -467,10 +492,14 @@ def _render(eng: Engine, st: EngineState, num_samples: int):
                         params.preamp, pre, g_ldr, u,
                         noise_enabled=st.noise_enabled,
                         noise_gain=st.noise_gain)
-                pa_st, y = power_amp.step(
-                    params.power_amp, pa_st,
-                    pre_out * tables.FIXED_CIRCUIT_DRIVE,
-                    rail_sag=st.rail_sag)
+                if eng.pa_model == "circuit":
+                    pa_st, y = power_amp.step(
+                        params.power_amp, pa_st,
+                        pre_out * tables.FIXED_CIRCUIT_DRIVE,
+                        rail_sag=st.rail_sag)
+                else:
+                    y = power_amp.behavioral_process(
+                        pre_out * tables.FIXED_CIRCUIT_DRIVE)
                 ys.append(y)
             os_state, amp_out = allpass.down_step(os_state, ys[0], ys[1])
         else:
@@ -485,10 +514,15 @@ def _render(eng: Engine, st: EngineState, num_samples: int):
                     params.preamp, st.pre, g_ldr, mono,
                     noise_enabled=st.noise_enabled,
                     noise_gain=st.noise_gain)
-            pa_st, amp_out = power_amp.step(
-                params.power_amp, st.pa,
-                pre_out * tables.FIXED_CIRCUIT_DRIVE,
-                rail_sag=st.rail_sag)
+            if eng.pa_model == "circuit":
+                pa_st, amp_out = power_amp.step(
+                    params.power_amp, st.pa,
+                    pre_out * tables.FIXED_CIRCUIT_DRIVE,
+                    rail_sag=st.rail_sag)
+            else:
+                pa_st = st.pa
+                amp_out = power_amp.behavioral_process(
+                    pre_out * tables.FIXED_CIRCUIT_DRIVE)
 
         # ── speaker + post gain ──
         spk_coeffs = speaker.coeffs_for_character(char, params.speaker.sample_rate)

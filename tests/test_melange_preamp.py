@@ -30,21 +30,23 @@ def _run(st, g, xs, noise=False, gain=1.0):
     return jax.lax.scan(body, st, xs)
 
 
-def _gain(r_ldr, freq=1000.0, amp=0.001):
+def _gain(r_ldr, freq=1000.0, amp=0.001, settle=1.0):
+    # Settle ≥ 2.5 τ of the Ce1 feedback path (τ ≈ 0.35 s at bright LDR):
+    # an unsettled bias was most of the old 2.4 dB cross-solver gap.
     params = _params()
-    n = int(SR * 0.5)
+    n = int(SR * (settle + 0.2))
     t = np.arange(n) / SR
     xs = jnp.asarray(amp * np.sin(2 * np.pi * freq * t))
     _, out = _run(mp.init_state(params), dk.ldr_conductance(r_ldr), xs)
-    seg = np.asarray(out)[int(SR * 0.3):]
+    seg = np.asarray(out)[int(SR * settle):]
     return (seg.max() - seg.min()) / 2 / amp
 
 
-def _legacy_gain(r_ldr, freq=1000.0, amp=0.001):
+def _legacy_gain(r_ldr, freq=1000.0, amp=0.001, settle=1.0):
     params = dk.make_params(SR)
     state = dk.init_state(params)
     g = dk.ldr_conductance(r_ldr)
-    n = int(SR * 0.5)
+    n = int(SR * (settle + 0.2))
     t = np.arange(n) / SR
     xs = jnp.asarray(amp * np.sin(2 * np.pi * freq * t))
 
@@ -56,20 +58,21 @@ def _legacy_gain(r_ldr, freq=1000.0, amp=0.001):
         return jax.lax.scan(body, state, xs)
 
     _, out = run(state, xs)
-    seg = np.asarray(out)[int(SR * 0.3):]
+    seg = np.asarray(out)[int(SR * settle):]
     return (seg.max() - seg.min()) / 2 / amp
 
 
 def test_gain_matches_legacy_at_both_endpoints():
-    # Cross-solver gate (dk_preamp/mod.rs:101-117 uses 2 dB). Ours allows
-    # 3 dB: the 12-node model's full Gummel-Poon (IKF=0.0136 high-injection
-    # knee at the ~3 mA stage-2 bias) genuinely lowers open-loop gm vs the
-    # legacy ideal Ebers-Moll, which shows most at the low-R_ldr endpoint
-    # where loop gain is smallest (measured ~2.4 dB there, 0.4 dB dark).
+    # Cross-solver gate at the reference's 2 dB (dk_preamp/mod.rs:101-117).
+    # Measured delta is ~0.45 dB at BOTH endpoints once the melange DC
+    # operating point includes the R_ldr branch's DC loading (the
+    # reference bakes it, gen_preamp.rs DC_OP) and the bias is allowed to
+    # settle through Ce1; the residual is the full Gummel-Poon's base
+    # current + IKF physics vs the legacy ideal Ebers-Moll.
     for r_ldr in (1_000_000.0, 19_000.0):
         g_mel = 20 * np.log10(_gain(r_ldr))
         g_leg = 20 * np.log10(_legacy_gain(r_ldr))
-        assert abs(g_mel - g_leg) < 3.0, (r_ldr, g_mel, g_leg)
+        assert abs(g_mel - g_leg) < 2.0, (r_ldr, g_mel, g_leg)
 
 
 def test_gain_increases_with_tremolo():

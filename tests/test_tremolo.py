@@ -110,3 +110,46 @@ def test_oscillator_survives_reinit():
     values = _shunt_trace(1.0, seconds=2.0)
     swing_db = 20 * np.log10(values.max() / values.min())
     assert swing_db > 6.0
+
+
+@pytest.mark.slow
+def test_am_depth_and_rate_through_preamp_loop():
+    """Reference cross-solver gate (dk_preamp/mod.rs:243-327): measured
+    AM depth 4-8 dB AND oscillation rate 4.5-7.5 Hz through the full
+    tremolo -> LDR -> preamp loop at depth 1.0."""
+    import jax
+    import jax.numpy as jnp
+
+    from openwurli_tpu.circuits import dk_preamp as dk
+
+    sr = 88_200.0
+    tp = tremolo.make_params(sr)
+    pp = dk.make_params(sr)
+    n = int(sr * 2.5)
+    t = np.arange(n) / sr
+    xs = jnp.asarray(0.01 * np.sin(2 * np.pi * 1000.0 * t))
+
+    @jax.jit
+    def run(xs):
+        def body(carry, x):
+            trem, pre = carry
+            trem, shunt = tremolo.step(tp, trem, 1.0)
+            pre, y = dk.step(pp, pre, dk.ldr_conductance(shunt), x)
+            return (trem, pre), y
+
+        carry = (tremolo.init_state(sr), dk.init_state(pp))
+        return jax.lax.scan(body, carry, xs)[1]
+
+    out = np.asarray(run(xs))[int(sr * 0.5):]
+    win = int(sr * 0.02)
+    env = np.sqrt(
+        (out[: len(out) // win * win].reshape(-1, win) ** 2).mean(axis=1))
+    env_db = 20 * np.log10(env + 1e-12)
+    depth = env_db.max() - env_db.min()
+    assert 4.0 <= depth <= 8.0, f"AM depth {depth:.2f} dB outside 4-8"
+
+    mid = (env_db.max() + env_db.min()) / 2
+    above = env_db > mid
+    crossings = np.abs(np.diff(above.astype(int))).sum()
+    rate = crossings / 2 / (len(env_db) * win / sr)
+    assert 4.5 <= rate <= 7.5, f"tremolo rate {rate:.2f} Hz outside 4.5-7.5"

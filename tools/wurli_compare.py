@@ -33,7 +33,7 @@ def main():
 
     import jax.numpy as jnp
 
-    from openwurli_tpu import voice
+    from openwurli_tpu import di
     from openwurli_tpu.calib import harmonics, notes as notes_mod
     from openwurli_tpu.io import wav
 
@@ -54,8 +54,10 @@ def main():
     midis = jnp.asarray([n["midi_note"] for n in selected],
                         dtype=jnp.float64)
     vels = jnp.asarray([max(n["velocity_norm"], 0.3) for n in selected])
-    model_audio = np.asarray(voice.render_note(
-        midis, vels, args.model_seconds, float(sr), mlp_enabled=True))
+    # DI chain INCLUDING the 2x-oversampled preamp (the reference
+    # compares the DI path, tools/wurli_compare.py + render_model_notes).
+    model_audio = di.render_di(midis, vels, args.model_seconds, float(sr),
+                               mlp_enabled=True)
 
     report = []
     for k, n in enumerate(selected):
