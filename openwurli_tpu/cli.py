@@ -31,18 +31,25 @@ def _fmt_db(x):
 # ── preamp measurement helpers ───────────────────────────────────────────
 
 
-def _measure_preamp_gain(freq, amplitude, r_ldr, sr, settle=0.3, measure=0.2):
+def _measure_preamp_gain_batch(freqs, amplitude, r_ldrs, sr,
+                               settle=0.3, measure=0.2):
+    """Vectorised gain measurement: the whole (freq, R_ldr) grid advances
+    as ONE batched scan (the solvers broadcast over leading dims)."""
     import jax
     import jax.numpy as jnp
 
     from openwurli_tpu.circuits import dk_preamp as dk
 
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    r_ldrs = np.broadcast_to(
+        np.asarray(r_ldrs, dtype=np.float64), freqs.shape)
     params = dk.make_params(sr)
-    state = dk.init_state(params)
-    g = dk.ldr_conductance(r_ldr)
+    state = dk.init_state(params, batch_shape=freqs.shape)
+    g = dk.ldr_conductance(jnp.asarray(r_ldrs))
     n = int(sr * (settle + measure))
     t = np.arange(n) / sr
-    xs = jnp.asarray(amplitude * np.sin(2 * np.pi * freq * t))
+    xs = jnp.asarray(amplitude * np.sin(
+        2 * np.pi * freqs[None, :] * t[:, None]))  # (n, F)
 
     @jax.jit
     def run(state, xs):
@@ -52,8 +59,13 @@ def _measure_preamp_gain(freq, amplitude, r_ldr, sr, settle=0.3, measure=0.2):
         return jax.lax.scan(body, state, xs)
 
     _, out = run(state, xs)
-    peak = float(jnp.abs(out[int(sr * settle):]).max())
-    return peak / amplitude
+    peaks = np.abs(np.asarray(out[int(sr * settle):])).max(axis=0)
+    return peaks / amplitude
+
+
+def _measure_preamp_gain(freq, amplitude, r_ldr, sr, settle=0.3, measure=0.2):
+    return float(_measure_preamp_gain_batch([freq], amplitude, [r_ldr], sr,
+                                            settle, measure)[0])
 
 
 def cmd_gain(args):
@@ -65,9 +77,10 @@ def cmd_gain(args):
 
 def cmd_sweep(args):
     freqs = np.geomspace(args.lo, args.hi, args.points)
+    gains = _measure_preamp_gain_batch(freqs, args.amplitude, args.r_ldr,
+                                       args.sr)
     print("freq_hz,gain_db")
-    for f in freqs:
-        g = _measure_preamp_gain(f, args.amplitude, args.r_ldr, args.sr)
+    for f, g in zip(freqs, gains):
         print(f"{f:.1f},{20*np.log10(g):.2f}")
 
 
@@ -107,9 +120,10 @@ def cmd_harmonics(args):
 
 def cmd_tremolo_sweep(args):
     rs = np.geomspace(args.lo, args.hi, args.points)
+    gains = _measure_preamp_gain_batch(
+        np.full_like(rs, args.freq), args.amplitude, rs, args.sr)
     print("r_ldr_ohm,gain_db")
-    for r in rs:
-        g = _measure_preamp_gain(args.freq, args.amplitude, r, args.sr)
+    for r, g in zip(rs, gains):
         print(f"{r:.0f},{20*np.log10(g):.2f}")
 
 
@@ -337,22 +351,28 @@ def cmd_overshoot(args):
 
 def _pump_trace(r_ldr_fn, seconds, sr):
     """Run the shadow preamp solver with a time-varying R_ldr, record the
-    pump (shadow OUT deviation from its settled value)."""
+    pump (shadow OUT deviation from its settled value).
+
+    r_ldr_fn(t) may return (n,) for one trace or (n, P) for a whole grid
+    of traces advanced in one batched scan."""
     import jax
     import jax.numpy as jnp
 
     from openwurli_tpu.circuits import dk_preamp as dk
 
     params = dk.make_params(sr)
-    state = dk.init_state(params)
     n = int(seconds * sr)
-    rs = jnp.asarray(r_ldr_fn(np.arange(n) / sr))
+    rs_np = np.asarray(r_ldr_fn(np.arange(n) / sr))
+    batch_shape = rs_np.shape[1:]
+    state = dk.init_state(params, batch_shape=batch_shape)
+    rs = jnp.asarray(rs_np)
+    x0 = jnp.zeros(batch_shape, dtype=jnp.float64)
 
     @jax.jit
     def run(state, rs):
         def body(st, r):
             g = dk.ldr_conductance(r)
-            st, _ = dk.step(params, st, g, jnp.asarray(0.0))
+            st, _ = dk.step(params, st, g, x0)
             return st, st.v[..., 1, dk.OUT]  # shadow OUT voltage
 
         return jax.lax.scan(body, state, rs)
@@ -372,11 +392,12 @@ def cmd_pump_trace(args):
 
 def cmd_pump_sweep(args):
     rs = np.geomspace(args.lo, args.hi, args.points)
+    tr = _pump_trace(
+        lambda t: np.broadcast_to(rs, (len(t), len(rs))), 0.5, args.sr)
+    tails = tr[len(tr) // 2:]
     print("r_ldr_ohm,pump_pp_v")
-    for r in rs:
-        tr = _pump_trace(lambda t: np.full_like(t, r), 0.5, args.sr)
-        tail = tr[len(tr) // 2:]
-        print(f"{r:.0f},{tail.max()-tail.min():.6f}")
+    for k, r in enumerate(rs):
+        print(f"{r:.0f},{tails[:, k].max()-tails[:, k].min():.6f}")
 
 
 def cmd_pump_step(args):
@@ -404,10 +425,11 @@ def cmd_pump_sinusoid(args):
 
 def cmd_pump_spike(args):
     rs = np.geomspace(30_000.0, 70_000.0, 41)
+    tr_all = _pump_trace(
+        lambda t: np.broadcast_to(rs, (len(t), len(rs))), 0.3, args.sr)
     print("r_ldr_ohm,pump_pp_v")
-    for r in rs:
-        tr = _pump_trace(lambda t: np.full_like(t, r), 0.3, args.sr)
-        tail = tr[len(tr) // 2:]
+    for k, r in enumerate(rs):
+        tail = tr_all[len(tr_all) // 2:, k]
         print(f"{r:.0f},{tail.max()-tail.min():.6f}")
 
 

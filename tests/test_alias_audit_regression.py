@@ -13,6 +13,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
+
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "baselines",
                              "alias_audit_v0_1_0.json")
 STEP_UP_TOL_DB = 1.5

@@ -17,6 +17,8 @@ import pytest
 from openwurli_tpu.calib import alias_audit, goertzel, harmonics, train
 from openwurli_tpu.calib.pipeline import STAGES, main as pipeline_main
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
+
 SR = 44100.0
 
 

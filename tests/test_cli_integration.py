@@ -14,6 +14,8 @@ import pytest
 
 from openwurli_tpu.io import wav
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

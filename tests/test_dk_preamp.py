@@ -12,11 +12,14 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openwurli_tpu.circuits import dk_preamp as dk
 from openwurli_tpu.circuits.dk_preamp import (
     BASE1, COLL1, COLL2, EMIT1, EMIT2, EMIT2B, FB, N, OUT,
 )
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
 
 SR = 88200.0
 

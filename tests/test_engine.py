@@ -13,6 +13,8 @@ import pytest
 from openwurli_tpu import engine
 from openwurli_tpu.engine import FREE, HELD, MAX_VOICES, RELEASING, SUSTAINED
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
+
 SR = 44100.0
 
 

@@ -1,8 +1,11 @@
 """Plugin host-shell tests — sample-accurate event splitting, params."""
 
 import numpy as np
+import pytest
 
 from openwurli_tpu.host import MidiEvent, WurliParams, WurliPlugin
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
 
 
 def test_process_block_with_events():

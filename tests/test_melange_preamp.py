@@ -9,8 +9,11 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openwurli_tpu.circuits import dk_preamp as dk, melange_preamp as mp
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
 
 SR = 88200.0
 

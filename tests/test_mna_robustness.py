@@ -4,8 +4,11 @@ NaN reset, and diag counters (gen_preamp.rs:3482-3641, 1616-1633)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openwurli_tpu.circuits import mna, power_amp as pamod, tremolo as trmod
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
 
 OS_SR = 88200.0
 

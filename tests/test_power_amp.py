@@ -5,8 +5,11 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openwurli_tpu.circuits import mna, power_amp as pa
+
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
 
 SR = 44100.0  # the reference's power-amp test rate
 

@@ -14,6 +14,8 @@ import pytest
 
 from openwurli_tpu.circuits import mna, tremolo
 
+pytestmark = pytest.mark.slow  # multi-minute end-to-end renders on 1-core CPU
+
 SR = 44100.0
 
 
