@@ -616,37 +616,43 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
 
     n_nodes_net = netlist.n_nodes
 
-    def solve_once(state, w_extra, use_be):
-        """One integration step with per-stream integrator selection."""
-        sel = use_be[..., None, None]
-        a_hist = jnp.where(sel, params.a_hist_be, params.a_hist)
-        s_mat = jnp.where(sel, params.s_be, params.s)
-        s_ni = jnp.where(sel, params.s_ni_be, params.s_ni)
-        k_eff = jnp.where(sel, params.k_be, params.k)
-        w_sc = jnp.where(use_be[..., None], params.w_scale_be,
-                         params.w_scale)
-        trap_i = jnp.where(use_be, 0.0, params.trap_i_hist)
+    def solve_once(state, w_extra, be: bool):
+        """One integration step with the trap or BE matrices (static
+        choice → unbatched constants; the per-stream merge happens in the
+        rarely-taken lax.cond branch of step())."""
+        if be:
+            a_hist, s_mat = params.a_hist_be, params.s_be
+            s_ni, k_eff = params.s_ni_be, params.k_be
+            w_sc, trap_i = params.w_scale_be, 0.0
+        else:
+            a_hist, s_mat = params.a_hist, params.s
+            s_ni, k_eff = params.s_ni, params.k
+            w_sc, trap_i = params.w_scale, params.trap_i_hist
 
-        rhs = jnp.einsum("...ij,...j->...i", a_hist, state.v)
+        rhs = jnp.einsum("ij,...j->...i", a_hist, state.v)
         rhs = rhs + w_sc * params.w + w_extra
-        rhs = rhs + trap_i[..., None] * jnp.einsum(
+        rhs = rhs + trap_i * jnp.einsum(
             "im,...m->...i", params.n_i, state.i_nl)
-        v_lin = jnp.einsum("...ij,...j->...i", s_mat, rhs)
+        v_lin = jnp.einsum("ij,...j->...i", s_mat, rhs)
         p = jnp.einsum("mi,...i->...m", params.n_v, v_lin)
         v_nl, resid = nr_solve(p, state.v_nl, k_eff)
         i_new = dev_fn(v_nl)
-        v = v_lin + jnp.einsum("...im,...m->...i", s_ni, i_new)
+        v = v_lin + jnp.einsum("im,...m->...i", s_ni, i_new)
         return v, i_new, v_nl, resid
+
+    is_trap_primary = float(np.asarray(params.trap_i_hist)) != 0.0
 
     def step(state: SolverState, w_extra, _unused_x=None):
         """Robustness ladder (gen_preamp.rs:3482-3641): trapezoidal
         primary → failure detection (NR residual / node ringing /
         non-finite) → masked backward-Euler replay of the failed sample
         with a FALLBACK_COOLDOWN-sample BE hold → adaptive voltage
-        damping → NaN reset to the DC OP, all counted in SolverDiag."""
+        damping → NaN reset to the DC OP, all counted in SolverDiag.
+        The BE branch runs inside a lax.cond so normal content pays
+        nothing for it."""
         dg = state.diag
         use_be = dg.cooldown > 0
-        v, i_new, v_nl, resid = solve_once(state, w_extra, use_be)
+        v, i_new, v_nl, resid = solve_once(state, w_extra, be=False)
 
         def failed(v_, resid_):
             node_v = v_[..., :n_nodes_net]
@@ -655,20 +661,23 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
             return (resid_ > FAIL_RESID) | ring | nonfin
 
         fail1 = failed(v, resid)
-        replay = fail1 & ~use_be
+        # Streams that failed this sample OR are inside a BE cooldown get
+        # the backward-Euler result instead.
+        need_be = (fail1 | use_be) if is_trap_primary else jnp.zeros_like(
+            fail1)
 
-        def do_replay(args):
+        def do_be(args):
             v_, i_, vnl_, res_ = args
-            vb, ib, vnlb, resb = solve_once(state, w_extra,
-                                            jnp.ones_like(use_be))
-            sel = replay[..., None]
+            vb, ib, vnlb, resb = solve_once(state, w_extra, be=True)
+            sel = need_be[..., None]
             return (jnp.where(sel, vb, v_), jnp.where(sel, ib, i_),
                     jnp.where(sel, vnlb, vnl_),
-                    jnp.where(replay, resb, res_))
+                    jnp.where(need_be, resb, res_))
 
-        v, i_new, v_nl, resid = jax.lax.cond(
-            jnp.any(replay), do_replay, lambda a: a,
-            (v, i_new, v_nl, resid))
+        if is_trap_primary:
+            v, i_new, v_nl, resid = jax.lax.cond(
+                jnp.any(need_be), do_be, lambda a: a,
+                (v, i_new, v_nl, resid))
         fail = failed(v, resid)
 
         # Adaptive voltage damping: cap the per-sample node swing.
@@ -692,7 +701,7 @@ def make_step(netlist: Netlist, params: SolverParams, max_iter=50,
             nr_fail=dg.nr_fail + fail.astype(jnp.int32),
             nan_reset=dg.nan_reset + bad.astype(jnp.int32),
             damp=dg.damp + damp_hit.astype(jnp.int32),
-            be_steps=dg.be_steps + (use_be | replay).astype(jnp.int32),
+            be_steps=dg.be_steps + need_be.astype(jnp.int32),
         )
         return SolverState(
             v=v, i_nl=i_new, v_nl=v_nl,

@@ -176,6 +176,19 @@ def cmd_render_poly(args):
     from openwurli_tpu.io import wav
 
     notes = [int(x) for x in args.notes.split(",")]
+    if getattr(args, "fast", False):
+        from openwurli_tpu import fast
+
+        out = fast.render_chord(
+            notes, args.velocity / 127.0, args.duration, args.sr,
+            volume=args.volume, depth=args.tremolo,
+            character=args.speaker, warm_seconds=0.6)
+        wav.write_wav(args.output, np.asarray(out, np.float64), args.sr,
+                      bits=24)
+        print(f"Rendered {len(notes)} notes × {args.duration}s (fused "
+              f"kernel path) → {args.output} "
+              f"(peak {np.abs(out).max():.4f})")
+        return
     eng = Engine(args.sr)
     eng.set_volume(args.volume)
     eng.set_tremolo_depth(args.tremolo)
@@ -536,6 +549,9 @@ def build_parser():
     sp.add_argument("--speaker", type=float, default=0.0)
     sp.add_argument("--sr", type=float, default=44_100.0)
     sp.add_argument("-o", "--output", default="/tmp/poly.wav")
+    sp.add_argument("--fast", action="store_true",
+                    help="fused-Pallas batch path (sustained render, "
+                         "~150x realtime on TPU; see openwurli_tpu.fast)")
 
     sp = add("render-midi", cmd_render_midi,
              help="Render a MIDI file through the full chain")
