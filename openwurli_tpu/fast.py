@@ -72,3 +72,72 @@ def render_chord(notes, velocity, seconds, sample_rate=44100.0, **kw):
     out = render_grid(np.asarray(notes, dtype=np.float64)[None, :],
                       velocity, seconds, sample_rate, **kw)
     return out[:, 0]
+
+
+def render_grid_sharded(mesh, midis, velocities, seconds,
+                        sample_rate=44100.0, volume=0.5, depth=0.5,
+                        character=0.0, interpret=False,
+                        t_tile=None):
+    """Multi-chip batch render: streams sharded over the mesh's data axis.
+
+    Each device runs the fused kernels on its local stream shard — pure
+    data parallelism over independent render streams (SURVEY §2.6: notes
+    are independent; no cross-sample communication). midis (S, V) with S
+    divisible by the mesh size. Returns (T, S) with S sharded.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openwurli_tpu.kernels import voice_bank as vb
+    from openwurli_tpu.parallel import mesh as meshlib
+
+    midis = np.atleast_2d(np.asarray(midis, dtype=np.float64))
+    vels = np.broadcast_to(
+        np.asarray(velocities, dtype=np.float64), midis.shape)
+    s, v = midis.shape
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    assert s % n_dev == 0, (s, n_dev)
+    sr = float(sample_rate)
+    t_tile = t_tile or mc.T_TILE
+    t_total = int(round(seconds * sr))
+    t_pad = -(-t_total // t_tile) * t_tile
+
+    with jax.default_device(mc._cpu_device()):
+        mc.pack_consts(sr)
+        lanes_per_dev = max(128, -(-(s // n_dev) * v // 128) * 128)
+        params_all = []
+        for d in range(n_dev):
+            sl = slice(d * (s // n_dev), (d + 1) * (s // n_dev))
+            pp, _ = vb.make_kernel_params(
+                midis[sl].reshape(-1), vels[sl].reshape(-1), sr,
+                lanes=lanes_per_dev)
+            params_all.append(np.asarray(pp))
+        params = np.stack(params_all)          # (D, rows, 8, lanes)
+        ctrl = mc.make_controls(sr, s, volume=volume, depth=depth,
+                                character=character)
+        state = mc.init_state(sr, s)
+
+    axis = meshlib.DATA_AXIS
+    sharded = NamedSharding(mesh, P(axis))
+    ctrl_sh = jax.device_put(np.asarray(ctrl).T.copy(), sharded)  # (S, C)
+    state_sh = jax.device_put(np.asarray(state).T.copy(), sharded)
+    params_sh = jax.device_put(params, sharded)
+
+    s_local = s // n_dev
+
+    def per_device(params_d, ctrl_d, state_d):
+        # (1, rows, 8, lanes), (S_loc, C), (S_loc, R) → local render
+        voices = vb.render_voice_bank(params_d[0], t_pad,
+                                      interpret=interpret)
+        audio = voices[:, :s_local * v].reshape(t_pad, s_local, v).sum(-1)
+        out, st = mc.render_tpu(sr, ctrl_d.T, state_d.T, audio,
+                                interpret=interpret, t_tile=t_tile)
+        return out.T  # (S_loc, T) so the batch axis stays leading
+
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=P(axis), check_rep=False)
+    out = fn(params_sh, ctrl_sh, state_sh)
+    return jnp.swapaxes(out, 0, 1)[:t_total]

@@ -59,6 +59,17 @@ def main():
     model_audio = di.render_di(midis, vels, args.model_seconds, float(sr),
                                mlp_enabled=True)
 
+    def attack_time_s(seg, sr_, threshold_db=-10.0):
+        # time from onset to within threshold of the peak (ref
+        # measure_attack_time)
+        env = np.abs(seg[: int(0.3 * sr_)])
+        if not len(env):
+            return float("nan")
+        peak = env.max() + 1e-12
+        thresh = peak * 10 ** (threshold_db / 20)
+        above = np.nonzero(env >= thresh)[0]
+        return float(above[0] / sr_) if len(above) else float("nan")
+
     report = []
     for k, n in enumerate(selected):
         real = harmonics.extract_note_features(
@@ -67,10 +78,23 @@ def main():
         model = harmonics.extract_note_features(
             model_audio[:, k], sr, n["f0_hz"])
 
+        # relative harmonic ladders in all three analysis windows
+        h_windows = {}
+        for wname in real["windows"]:
+            rw_ = np.asarray(real["windows"][wname])
+            mw_ = np.asarray(model["windows"].get(wname, rw_ * np.nan))
+            h_windows[wname] = [
+                float(r - m) if np.isfinite(r) and np.isfinite(m)
+                else None
+                for r, m in zip(rw_ - rw_[0], mw_ - mw_[0])]
         rw = np.asarray(real["windows"]["early_sustain"])
         mw = np.asarray(model["windows"]["early_sustain"])
-        h_delta = [float(r - m) if np.isfinite(r) and np.isfinite(m)
-                   else None for r, m in zip(rw - rw[0], mw - mw[0])]
+        h_delta = h_windows["early_sustain"]
+
+        onset = int(n["onset_s"] * sr)
+        seg_real = audio[onset:onset + int(0.5 * sr)]
+        atk_real = attack_time_s(seg_real, sr)
+        atk_model = attack_time_s(model_audio[:, k], sr)
 
         rd = harmonics.decay_rate_db_per_s(real["decay_db"],
                                            real["decay_times"])
@@ -90,6 +114,9 @@ def main():
             "decay_model_db_s": md,
             "centroid_real_hz": real["centroid_sustain_hz"],
             "centroid_model_hz": model["centroid_sustain_hz"],
+            "harmonic_windows_delta_db": h_windows,
+            "attack_real_s": atk_real,
+            "attack_model_s": atk_model,
         }
         report.append(entry)
         h2 = h_delta[1] if len(h_delta) > 1 and h_delta[1] is not None else 0
@@ -97,8 +124,47 @@ def main():
               f"Δf0 {cents:+6.1f}c  ΔH2/H1 {h2:+5.1f} dB  "
               f"decay {rd:.1f} vs {md:.1f} dB/s")
 
+    # ── aggregate summary (ref print_summary) ──
+    def med(key, absval=False):
+        vals = [e[key] for e in report
+                if e[key] is not None and np.isfinite(e[key])]
+        if not vals:
+            return float("nan")
+        vals = np.abs(vals) if absval else np.asarray(vals)
+        return float(np.median(vals))
+
+    h2s = [e["harmonic_rel_delta_db"][1] for e in report
+           if len(e["harmonic_rel_delta_db"]) > 1
+           and e["harmonic_rel_delta_db"][1] is not None]
+    h3s = [e["harmonic_rel_delta_db"][2] for e in report
+           if len(e["harmonic_rel_delta_db"]) > 2
+           and e["harmonic_rel_delta_db"][2] is not None]
+    decay_d = [e["decay_real_db_s"] - e["decay_model_db_s"]
+               for e in report
+               if np.isfinite(e["decay_real_db_s"])
+               and np.isfinite(e["decay_model_db_s"])]
+    summary = {
+        "n_notes": len(report),
+        "median_abs_f0_cents": med("f0_cents_delta", absval=True),
+        "median_abs_h2_delta_db": (float(np.median(np.abs(h2s)))
+                                   if h2s else float("nan")),
+        "median_abs_h3_delta_db": (float(np.median(np.abs(h3s)))
+                                   if h3s else float("nan")),
+        "median_decay_delta_db_s": (float(np.median(decay_d))
+                                    if decay_d else float("nan")),
+    }
+    print("summary:")
+    print(f"  |Δf0| median      {summary['median_abs_f0_cents']:.1f} cents"
+          f"  (reference MLP target ~2.5)")
+    print(f"  |ΔH2/H1| median   {summary['median_abs_h2_delta_db']:.2f} dB"
+          f"  (reference MLP target ~0.3)")
+    print(f"  |ΔH3/H1| median   {summary['median_abs_h3_delta_db']:.2f} dB"
+          f"  (reference MLP target ~0.9)")
+    print(f"  decay Δ median    {summary['median_decay_delta_db_s']:.1f}"
+          f" dB/s")
+
     with open(args.output, "w") as f:
-        json.dump(report, f, indent=1)
+        json.dump({"notes": report, "summary": summary}, f, indent=1)
     print(f"→ {args.output}")
 
 
