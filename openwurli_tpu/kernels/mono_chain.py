@@ -52,6 +52,14 @@ from openwurli_tpu.ops import allpass, biquad
 TREM_SUB_OS = 8          # tremolo update period in oversampled samples
 SUB_BASE = TREM_SUB_OS // 2  # in base samples
 N_PA_ITERS = 8
+# Full-Newton iterations; any remainder reuses the last LU factors
+# (chord, reference gen_power_amp.rs "chord refactor" strategy). The
+# Gummel-Poon gm changes ~50×/0.1 V, so chord steps with a stale
+# Jacobian overshoot: even two chord tail iterations cost ~20 dB of
+# stage parity at high drive (measured). Default: all-full Newton; the
+# speed win here came from UNROLLING the NR loop (fori array carries
+# cost ~2 µs/iteration each in Mosaic).
+PA_REFRESH_ITERS = tuple(range(N_PA_ITERS))
 N_PRE_ITERS = 3
 N_TREM_ITERS = 2
 PA_CONV_TOL = 1e-4   # NR mask: recentred-residual f32 noise floor is ~1e-5
@@ -486,10 +494,12 @@ def _rep(x, n):
     return jnp.concatenate([x] * n, axis=1)
 
 
-def _ge_solve_flat(cols, rhs, m):
-    """Per-stream m×m solve: cols = list of m (m,S) matrix columns, rhs
-    (m,S). Flat (m, (m+1)·S) Gaussian elimination, no pivoting (NR
-    Jacobians here are unit-dominant I − K·J). Returns x (m,S).
+def _ge_factor(cols, rhs, m):
+    """Per-stream m×m factor+solve: cols = list of m (m,S) matrix
+    columns, rhs (m,S). Flat Gaussian elimination, no pivoting (NR
+    Jacobians here are unit-dominant I − K·J). Returns (x, factors)
+    where factors = (belows, u_cols, invs) lets _ge_resolve solve the
+    SAME matrix against a new rhs in ~1/3 the ops (chord iterations).
 
     Each elimination step only touches the not-yet-eliminated column
     blocks (the flat array is re-assembled from the untouched prefix) —
@@ -498,7 +508,8 @@ def _ge_solve_flat(cols, rhs, m):
     flat = jnp.concatenate(cols + [rhs], axis=1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     invs = []
-    u_cols = []  # frozen upper-triangular column blocks, in order
+    u_cols = []   # frozen upper-triangular column blocks, in order
+    belows = []   # elimination multipliers per step
     for k in range(m):
         pivcol = flat[:, 0:s_lanes]
         piv = pivcol[k:k + 1, :]
@@ -506,10 +517,14 @@ def _ge_solve_flat(cols, rhs, m):
         invs.append(inv)
         u_cols.append(pivcol)
         below = jnp.where(iota > k, pivcol, 0.0) * inv
+        belows.append(below)
         rest = flat[:, s_lanes:]
         flat = rest - _rep(below, m - k) * rest[k:k + 1, :]
-    # back substitution (U unnormalised; invs hold 1/diag)
-    acc = flat  # (m, S): the fully-eliminated rhs
+    x = _ge_backsub(flat, u_cols, invs, iota, m)
+    return x, (belows, u_cols, invs, iota)
+
+
+def _ge_backsub(acc, u_cols, invs, iota, m):
     xs = [None] * m
     for k in range(m - 1, -1, -1):
         xk = acc[k:k + 1, :] * invs[k]
@@ -517,6 +532,19 @@ def _ge_solve_flat(cols, rhs, m):
         if k:
             acc = acc - jnp.where(iota < k, u_cols[k], 0.0) * xk
     return jnp.concatenate(xs, axis=0)
+
+
+def _ge_resolve(factors, rhs, m):
+    """Solve the previously-factored system against a new rhs."""
+    belows, u_cols, invs, iota = factors
+    acc = rhs
+    for k in range(m):
+        acc = acc - belows[k] * acc[k:k + 1, :]
+    return _ge_backsub(acc, u_cols, invs, iota, m)
+
+
+def _ge_solve_flat(cols, rhs, m):
+    return _ge_factor(cols, rhs, m)[0]
 
 
 def _pnjlim(v_old, v_new, nvt, vcrit):
@@ -758,33 +786,37 @@ def pa_step(c, sc, st, x, rail_sag):
     f, i_abs = resid(vnl)
     fn0 = jnp.max(jnp.abs(f), axis=0, keepdims=True)
 
-    def nr_body(_k, carry):
-        vnl, f, i_abs = carry
-        vbe, vbc = vnl[0:8], vnl[8:16]
-        _, _, gbb, gbc, gcb, gcc = gp.bjt_currents_derivs_packed(
-            gpp, vbe, vbc)
-        cols = []
-        for j in range(16):
-            b = j % 8
-            g1 = (gbb if j < 8 else gbc)[b:b + 1, :]
-            g2 = (gcb if j < 8 else gcc)[b:b + 1, :]
-            cols.append(_col(c["eye16"], j)
-                        - _col(K, b) * g1 - _col(K, b + 8) * g2)
-        dv = jnp.clip(_ge_solve_flat(cols, f, 16), -clamp, clamp)
+    # Fixed iteration budget, unrolled: an early-exit while_loop measured
+    # SLOWER — with ≥128 streams advancing the same sample, some stream
+    # is almost always mid-crossover, so the all-streams-converged exit
+    # never fires. Chord reuse (reference "chord refactor" strategy,
+    # gen_power_amp.rs:29-49): the Jacobian is assembled+factored on
+    # REFRESH iterations and the stored LU factors re-solve the cheap
+    # iterations in ~1/3 the ops.
+    factors = None
+    for k_it in range(N_PA_ITERS):
+        refresh = k_it in PA_REFRESH_ITERS or factors is None
+        if refresh:
+            vbe, vbc = vnl[0:8], vnl[8:16]
+            _, _, gbb, gbc, gcb, gcc = gp.bjt_currents_derivs_packed(
+                gpp, vbe, vbc)
+            cols = []
+            for j in range(16):
+                b = j % 8
+                g1 = (gbb if j < 8 else gbc)[b:b + 1, :]
+                g2 = (gcb if j < 8 else gcc)[b:b + 1, :]
+                cols.append(_col(c["eye16"], j)
+                            - _col(K, b) * g1 - _col(K, b + 8) * g2)
+            dv_raw, factors = _ge_factor(cols, f, 16)
+        else:
+            dv_raw = _ge_resolve(factors, f, 16)
+        dv = jnp.clip(dv_raw, -clamp, clamp)
         # Converged streams don't move (prevents weak-direction kicks
         # when the residual is already at the f32 noise floor).
         fn = jnp.max(jnp.abs(f), axis=0, keepdims=True)
         dv = jnp.where(fn < PA_CONV_TOL, 0.0, dv)
         vnl = _pnjlim(vnl, vnl - dv, nvt_col, vcrit_col)
         f, i_abs = resid(vnl)
-        return vnl, f, i_abs
-
-    # Fixed iteration budget: an early-exit while_loop measured SLOWER —
-    # with ≥128 streams advancing the same sample, some stream is almost
-    # always mid-crossover, so the all-streams-converged exit never fires
-    # and the per-iteration scalar reduction is pure overhead.
-    vnl, f, i_abs = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(N_PA_ITERS), nr_body, (vnl, f, i_abs))
 
     fn_final = jnp.max(jnp.abs(f), axis=0, keepdims=True)
     # Explosion reset: if NR ended farther than it started (limexp wall),
@@ -939,6 +971,7 @@ def _merged_consts(consts: ChainConsts, controls):
 # Trace-time knockout switches for kernel cost profiling (tools/ only —
 # production paths leave these True).
 ENABLE_TREM = True
+ENABLE_STATE = True
 ENABLE_PRE = True
 ENABLE_PA = True
 ENABLE_SPK = True
@@ -1007,21 +1040,34 @@ def _make_kernel(scalars, n_tiles, t_tile):
         # slices every iteration: Mosaic charges ~2-3 µs/iteration for
         # EACH array carried through a fori_loop, while ref slice traffic
         # is nanoseconds — a 25-array state carry cost 26 µs/sample.
+        # State moves through per-component slice reads/writes on the
+        # scratch ref: a packed concatenate of ~38 mixed-height blocks
+        # per iteration cost 18 µs/sample by itself.
+        def read_state():
+            return {name: state_scratch[a:b]
+                    for name, (a, b) in _OFFSETS.items()}
+
+        def write_state(st):
+            for name, (a, b) in _OFFSETS.items():
+                state_scratch[a:b] = st[name]
+
         def body(i, carry):
+            if not ENABLE_STATE:  # profiling: pure audio copy loop
+                x = audio_ref[pl.ds(i, 1), :]
+                out_ref[pl.ds(i, 1), :] = x * 0.5
+                return carry
             # Tremolo under pl.when (a lax.cond would carry the whole
             # state pytree through both branches at fori-carry prices).
             if ENABLE_TREM:
                 @pl.when(jax.lax.rem(i, jnp.int32(SUB_BASE)) == 0)
                 def _trem():
-                    st_t = unpack_state(state_scratch[:])
-                    st_t = trem_update(c, sc, st_t)
-                    state_scratch[:] = pack_state(st_t)
+                    write_state(trem_update(c, sc, read_state()))
 
-            st = unpack_state(state_scratch[:])
+            st = read_state()
             x = audio_ref[pl.ds(i, 1), :]
             st, y = base_step(c, sc, st, x)
             out_ref[pl.ds(i, 1), :] = y
-            state_scratch[:] = pack_state(st)
+            write_state(st)
             return carry
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile), body,
