@@ -75,8 +75,10 @@ def _run_fused(streams, sr, reps):
         static_argnums=())
     checksum = jax.jit(lambda y, s: jnp.sum(y) + jnp.sum(jnp.abs(s)))
 
+    steady = vb.steady_limits(params)
+
     def block(state):
-        voices = vb.render_voice_bank(params, t_blk)
+        voices = vb.render_voice_bank(params, t_blk, steady=steady)
         audio = sum_voices(voices)
         out, state = mc.render_tpu(sr, ctrl, state, audio)
         return out, state

@@ -61,7 +61,8 @@ def render_grid(midis, velocities, seconds, sample_rate=44100.0,
         silence = jnp.zeros((t_warm, s), jnp.float32)
         _, state = mc.render_tpu(sr, ctrl, state, silence)
 
-    voices = vb.render_voice_bank(params, t_pad)[:, :s * v]
+    voices = vb.render_voice_bank(
+        params, t_pad, steady=vb.steady_limits(params))[:, :s * v]
     audio = voices.reshape(t_pad, s, v).sum(-1)
     out, _state = mc.render_tpu(sr, ctrl, state, audio)
     return np.asarray(out[:t_total])

@@ -54,18 +54,24 @@ def _lcg(st):
     return st * jnp.uint32(1664525) + jnp.uint32(1013904223)
 
 
-def _make_kernel(t_tile):
+def _make_kernel(t_tile, steady):
     def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
                 q_ref, nstate_ref, irng_ref, nf_ref):
-        return _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref,
-                            env_ref, drift_ref, q_ref, nstate_ref,
+        return _kernel_body(t_tile, steady, params_ref, out_ref, s_ref,
+                            c_ref, env_ref, drift_ref, q_ref, nstate_ref,
                             irng_ref, nf_ref)
     return _kernel
 
 
-def _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref, env_ref,
-                 drift_ref, q_ref, nstate_ref, irng_ref, nf_ref):
-    """One grid step renders t_tile samples for all lanes voices."""
+def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
+                 env_ref, drift_ref, q_ref, nstate_ref, irng_ref, nf_ref):
+    """One grid step renders t_tile samples for all lanes voices.
+
+    steady: None, or (onset_done, noise_done) sample counts after which
+    ALL voices' onset ramps / attack noises have finished — the
+    transcendental onset shaping and the noise chain then run under a
+    scalar pl.when and their cached scratch rows (nstate rows 3, 4) feed
+    the steady-state samples for free."""
     tile = pl.program_id(0)
 
     @pl.when(tile == 0)
@@ -118,12 +124,23 @@ def _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref, env_ref,
     def body(i, n_f):
         n = base_n + i
 
-        cosine = 0.5 * (1.0 - jnp.cos(n_f * onset_inc))
-        shaped = jnp.where(
-            onset_exp <= 1.001, cosine,
-            jnp.where(onset_exp >= 1.999, cosine * cosine,
-                      jnp.power(jnp.maximum(cosine, 1e-30), onset_exp)))
-        onset = jnp.where(n_f < onset_samps, shaped, 1.0)
+        def compute_onset():
+            cosine = 0.5 * (1.0 - jnp.cos(n_f * onset_inc))
+            shaped = jnp.where(
+                onset_exp <= 1.001, cosine,
+                jnp.where(onset_exp >= 1.999, cosine * cosine,
+                          jnp.power(jnp.maximum(cosine, 1e-30),
+                                    onset_exp)))
+            return jnp.where(n_f < onset_samps, shaped, 1.0)
+
+        if steady is None:
+            onset = compute_onset()
+        else:
+            @pl.when(n_f < jnp.float32(steady[0]))
+            def _onset():
+                nstate_ref[3:4, :] = compute_onset()
+
+            onset = nstate_ref[3:4, :]
 
         @pl.when((n & (JITTER_SUBSAMPLE - 1)) == 0)
         def _jitter():
@@ -154,27 +171,37 @@ def _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref, env_ref,
 
         # Attack noise: LCG → bandpass biquad (DF-II-T) → amp env, while
         # sample index < duration; raised-cosine 16-sample fade-in.
-        nst = pltpu.bitcast(irng_ref[1:2, :], jnp.uint32)
-        nst = _lcg(nst)
-        white = nst.astype(jnp.int32).astype(jnp.float32) * jnp.float32(
-            1.0 / 2147483647.0)
-        irng_ref[1:2, :] = pltpu.bitcast(nst, jnp.int32)
-        namp = nstate_ref[0:1, :]
-        z1 = nstate_ref[1:2, :]
-        z2 = nstate_ref[2:3, :]
-        filtered = nb0 * white + z1
-        z1_new = -na1 * filtered + z2  # b1 = 0 for this bandpass
-        z2_new = nb2 * white - na2 * filtered
-        active = n_f < noise_dur
-        fade_t = jnp.minimum(n_f / NOISE_FADE_IN, 1.0)
-        fade = 0.5 * (1.0 - jnp.cos(jnp.float32(np.pi) * fade_t))
-        fade = jnp.where(n_f < NOISE_FADE_IN, fade, 1.0)
-        noise_out = jnp.where(active, namp * fade * filtered, 0.0)
-        nstate_ref[0:1, :] = jnp.where(active, namp * noise_decay, namp)
-        nstate_ref[1:2, :] = jnp.where(active, z1_new, z1)
-        nstate_ref[2:3, :] = jnp.where(active, z2_new, z2)
+        def compute_noise():
+            nst = pltpu.bitcast(irng_ref[1:2, :], jnp.uint32)
+            nst = _lcg(nst)
+            white = nst.astype(jnp.int32).astype(jnp.float32) \
+                * jnp.float32(1.0 / 2147483647.0)
+            irng_ref[1:2, :] = pltpu.bitcast(nst, jnp.int32)
+            namp = nstate_ref[0:1, :]
+            z1 = nstate_ref[1:2, :]
+            z2 = nstate_ref[2:3, :]
+            filtered = nb0 * white + z1
+            z1_new = -na1 * filtered + z2  # b1 = 0 for this bandpass
+            z2_new = nb2 * white - na2 * filtered
+            active = n_f < noise_dur
+            fade_t = jnp.minimum(n_f / NOISE_FADE_IN, 1.0)
+            fade = 0.5 * (1.0 - jnp.cos(jnp.float32(np.pi) * fade_t))
+            fade = jnp.where(n_f < NOISE_FADE_IN, fade, 1.0)
+            noise_out = jnp.where(active, namp * fade * filtered, 0.0)
+            nstate_ref[0:1, :] = jnp.where(active, namp * noise_decay,
+                                           namp)
+            nstate_ref[1:2, :] = jnp.where(active, z1_new, z1)
+            nstate_ref[2:3, :] = jnp.where(active, z2_new, z2)
+            return noise_out
 
-        mono = mono + noise_out
+        if steady is None:
+            mono = mono + compute_noise()
+        else:
+            @pl.when(n_f < jnp.float32(steady[1]))
+            def _noise():
+                nstate_ref[4:5, :] = compute_noise()
+
+            mono = mono + nstate_ref[4:5, :]
 
         # Rotation via deviation form: with a = (cos−1) − δ·sin and
         # b = sin + δ·(1 + (cos−1)),  s' = s + s·a + c·b,  c' = c + c·a − s·b
@@ -220,7 +247,18 @@ def _kernel_body(t_tile, params_ref, out_ref, s_ref, c_ref, env_ref,
                                      body, nf_ref[0, 0])
 
 
-def render_voice_bank(params, num_samples: int, interpret: bool = False):
+def steady_limits(params):
+    """(onset_done, noise_done) global sample counts for the `steady`
+    gating, from a packed params array (+64-sample safety margin so the
+    cached rows pass through their exact final values)."""
+    p = np.asarray(params)
+    onset = int(np.ceil(p[ROW_SCAL][0].max())) + 64
+    noise = int(np.ceil(p[ROW_NOISE][2].max())) + 64
+    return onset, noise
+
+
+def render_voice_bank(params, num_samples: int, interpret: bool = False,
+                      steady=None):
     """Render V voices × num_samples through the fused kernel.
 
     params: (N_ROWS, 8, V) f32 with V a multiple of 128 (see
@@ -236,18 +274,20 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False):
     with jax.enable_x64(False):
         lanes = params.shape[-1]
         if lanes <= 8192:
-            return _render_voice_bank_jit(params, num_samples, interpret)
+            return _render_voice_bank_jit(params, num_samples, interpret,
+                                          steady)
         # Wider banks exceed VMEM (params are pipeline-double-buffered):
         # render in 8192-lane chunks and stitch.
         chunks = [
             _render_voice_bank_jit(params[..., i:i + 8192], num_samples,
-                                   interpret)
+                                   interpret, steady)
             for i in range(0, lanes, 8192)]
         return jnp.concatenate(chunks, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _render_voice_bank_jit(params, num_samples: int, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _render_voice_bank_jit(params, num_samples: int, interpret: bool,
+                           steady=None):
     lanes = params.shape[-1]
     # Output tile ≤ ~1 MB so params + scratch + double-buffered output
     # stay inside the 16 MB VMEM budget at wide lane counts.
@@ -255,7 +295,7 @@ def _render_voice_bank_jit(params, num_samples: int, interpret: bool):
     n_tiles = (num_samples + t_tile - 1) // t_tile
     total = n_tiles * t_tile
     out = pl.pallas_call(
-        _make_kernel(t_tile),
+        _make_kernel(t_tile, steady),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((N_ROWS, SUBLANES, lanes),
                                lambda t: (0, 0, 0),
