@@ -775,31 +775,35 @@ def pa_step(c, sc, st, x, rail_sag):
     ws = _pnjlim(st["pa_vnl"], ws, nvt_col, vcrit_col)
     vnl = ws
 
+    def resid_from(v, i_):
+        return ((v - vnl_dc) - p_dev - corr0
+                - jnp.dot(K, i_ - i_dc,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST))
+
     def resid(v):
         ib_, ic_ = gp.bjt_currents_packed(gpp, v[0:8], v[8:16])
         i_ = jnp.concatenate([ib_, ic_], axis=0)
-        f_ = ((v - vnl_dc) - p_dev - corr0
-              - jnp.dot(K, i_ - i_dc, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST))
-        return f_, i_
-
-    f, i_abs = resid(vnl)
-    fn0 = jnp.max(jnp.abs(f), axis=0, keepdims=True)
+        return resid_from(v, i_), i_
 
     # Fixed iteration budget, unrolled: an early-exit while_loop measured
     # SLOWER — with ≥128 streams advancing the same sample, some stream
     # is almost always mid-crossover, so the all-streams-converged exit
-    # never fires. Chord reuse (reference "chord refactor" strategy,
-    # gen_power_amp.rs:29-49): the Jacobian is assembled+factored on
-    # REFRESH iterations and the stored LU factors re-solve the cheap
-    # iterations in ~1/3 the ops.
+    # never fires. One combined currents+derivatives evaluation per
+    # iteration serves both the residual and the Jacobian. Chord reuse
+    # (reference "chord refactor", gen_power_amp.rs:29-49): the Jacobian
+    # is factored on REFRESH iterations; others re-solve the stored LU.
     factors = None
+    fn0 = None
     for k_it in range(N_PA_ITERS):
-        refresh = k_it in PA_REFRESH_ITERS or factors is None
-        if refresh:
-            vbe, vbc = vnl[0:8], vnl[8:16]
-            _, _, gbb, gbc, gcb, gcc = gp.bjt_currents_derivs_packed(
-                gpp, vbe, vbc)
+        vbe, vbc = vnl[0:8], vnl[8:16]
+        ib, ic, gbb, gbc, gcb, gcc = gp.bjt_currents_derivs_packed(
+            gpp, vbe, vbc)
+        i_abs = jnp.concatenate([ib, ic], axis=0)
+        f = resid_from(vnl, i_abs)
+        if fn0 is None:
+            fn0 = jnp.max(jnp.abs(f), axis=0, keepdims=True)
+        if k_it in PA_REFRESH_ITERS or factors is None:
             cols = []
             for j in range(16):
                 b = j % 8
@@ -816,8 +820,8 @@ def pa_step(c, sc, st, x, rail_sag):
         fn = jnp.max(jnp.abs(f), axis=0, keepdims=True)
         dv = jnp.where(fn < PA_CONV_TOL, 0.0, dv)
         vnl = _pnjlim(vnl, vnl - dv, nvt_col, vcrit_col)
-        f, i_abs = resid(vnl)
 
+    f, i_abs = resid(vnl)
     fn_final = jnp.max(jnp.abs(f), axis=0, keepdims=True)
     # Explosion reset: if NR ended farther than it started (limexp wall),
     # discard the excursion — state continuity via the warm start, output
