@@ -42,3 +42,19 @@ def test_kernel_padding_is_silent():
     out = np.asarray(voice_bank.render_voice_bank(params, 600, True))
     assert np.abs(out[:, n_active:]).max() == 0.0
     assert np.abs(out[:, 0]).max() > 0.0
+
+
+@pytest.mark.slow
+def test_steady_gating_is_bit_exact():
+    """The onset/attack-noise completion gating (steady=...) must not
+    change a single sample (the cached scratch rows pass through the
+    exact final values)."""
+    notes = [48.0, 69.0]
+    vels = [0.9, 0.7]
+    n = 4096
+    params, n_active = voice_bank.make_kernel_params(notes, vels, SR)
+    steady = voice_bank.steady_limits(params)
+    a = np.asarray(voice_bank.render_voice_bank(params, n, True))
+    b = np.asarray(voice_bank.render_voice_bank(params, n, True,
+                                                steady=steady))
+    assert np.array_equal(a, b), np.abs(a - b).max()
