@@ -22,7 +22,8 @@ from openwurli_tpu.kernels import mono_chain as mc
 
 
 def render_grid(midis, velocities, seconds, sample_rate=44100.0,
-                volume=0.5, depth=0.5, character=0.0, warm_seconds=0.0):
+                volume=0.5, depth=0.5, character=0.0, warm_seconds=0.0,
+                interpret=False, t_tile=None):
     """Render S streams × V voices: midis/velocities (S, V) → (T, S) f32.
 
     Each stream s sounds its V notes simultaneously from t=0 through the
@@ -40,8 +41,9 @@ def render_grid(midis, velocities, seconds, sample_rate=44100.0,
         np.asarray(velocities, dtype=np.float64), midis.shape)
     s, v = midis.shape
     sr = float(sample_rate)
+    t_tile = t_tile or mc.T_TILE
     t_total = int(round(seconds * sr))
-    t_pad = -(-t_total // mc.T_TILE) * mc.T_TILE
+    t_pad = -(-t_total // t_tile) * t_tile
 
     with jax.default_device(mc._cpu_device()):
         mc.pack_consts(sr)
@@ -57,14 +59,17 @@ def render_grid(midis, velocities, seconds, sample_rate=44100.0,
     state = jnp.asarray(state)
 
     if warm_seconds > 0.0:
-        t_warm = -(-int(warm_seconds * sr) // mc.T_TILE) * mc.T_TILE
+        t_warm = -(-int(warm_seconds * sr) // t_tile) * t_tile
         silence = jnp.zeros((t_warm, s), jnp.float32)
-        _, state = mc.render_tpu(sr, ctrl, state, silence)
+        _, state = mc.render_tpu(sr, ctrl, state, silence,
+                                 interpret=interpret, t_tile=t_tile)
 
     voices = vb.render_voice_bank(
-        params, t_pad, steady=vb.steady_limits(params))[:, :s * v]
+        params, t_pad, interpret=interpret,
+        steady=vb.steady_limits(params))[:, :s * v]
     audio = voices.reshape(t_pad, s, v).sum(-1)
-    out, _state = mc.render_tpu(sr, ctrl, state, audio)
+    out, _state = mc.render_tpu(sr, ctrl, state, audio,
+                                interpret=interpret, t_tile=t_tile)
     return np.asarray(out[:t_total])
 
 

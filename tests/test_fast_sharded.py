@@ -21,3 +21,27 @@ def test_render_grid_sharded_virtual_mesh():
     assert np.isfinite(out).all()
     # every stream rendered its own note (streams differ)
     assert np.std(out[-1, :]) >= 0.0
+
+
+def test_render_grid_matches_composed_pipeline():
+    """fast.render_grid == voice bank + sum + mono chain composed by
+    hand (same kernels, interpret mode, tiny shapes)."""
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import mono_chain as mc
+    from openwurli_tpu.kernels import voice_bank as vb
+
+    midis = np.array([[60.0, 64.0]])
+    t = 64
+    out = fast.render_grid(midis, 0.8, t / 44100.0, interpret=True,
+                           t_tile=32)
+    params, _ = vb.make_kernel_params(midis.reshape(-1),
+                                      np.full(2, 0.8), 44100.0)
+    voices = vb.render_voice_bank(jnp.asarray(params), t, interpret=True)
+    audio = voices[:, :2].sum(-1, keepdims=True)
+    ctrl = mc.make_controls(44100.0, 1)
+    state = mc.init_state(44100.0, 1)
+    ref, _ = mc.render_tpu(44100.0, ctrl, state,
+                           jnp.asarray(audio, jnp.float32),
+                           interpret=True, t_tile=32)
+    assert np.allclose(np.asarray(out), np.asarray(ref)[:t], atol=1e-6)
