@@ -15,6 +15,7 @@ OnceLock; use `settled_state` for the cached path).
 
 from __future__ import annotations
 
+import math
 from functools import lru_cache
 from typing import NamedTuple
 
@@ -80,8 +81,10 @@ class TremoloState(NamedTuple):
     r_ldr: jnp.ndarray  # (...,)
 
 
-_LN_R_MAX = float(jnp.log(R_LDR_MAX))
-_LN_MIN_MINUS_MAX = float(jnp.log(R_LDR_MIN) - jnp.log(R_LDR_MAX))
+# math.log (not jnp) on purpose: an eager jnp op at import time would
+# initialise a JAX backend before callers can pick one.
+_LN_R_MAX = math.log(R_LDR_MAX)
+_LN_MIN_MINUS_MAX = math.log(R_LDR_MIN) - math.log(R_LDR_MAX)
 
 
 @lru_cache(maxsize=None)

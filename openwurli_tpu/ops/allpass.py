@@ -14,14 +14,17 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BRANCH_A_COEFFS = jnp.array(
+# NumPy (not jnp) on purpose: module-level eager jnp constants would
+# initialise a JAX backend at import time, before callers can pick one.
+BRANCH_A_COEFFS = np.array(
     [0.036681502163648, 0.248030921580110, 0.643184620136480],
-    dtype=jnp.float64,
+    dtype=np.float64,
 )
-BRANCH_B_COEFFS = jnp.array(
+BRANCH_B_COEFFS = np.array(
     [0.110377634768680, 0.420399304190880, 0.854640112701920],
-    dtype=jnp.float64,
+    dtype=np.float64,
 )
 N_SECTIONS = 3
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+import numpy as np
 
 NUM_MODES = 7
 MIDI_LO = 33  # A1
@@ -25,16 +26,16 @@ NUM_KEYS = MIDI_HI - MIDI_LO + 1  # 64 reeds
 
 # Base mode amplitudes calibrated against OBM recordings (pickup-HPF-corrected
 # mechanical mode levels; mode 2 at -46 dB). Reference: tables.rs:32-33.
-BASE_MODE_AMPLITUDES = jnp.array(
-    [1.0, 0.005, 0.0035, 0.0018, 0.0011, 0.0007, 0.0005], dtype=jnp.float64
+BASE_MODE_AMPLITUDES = np.array(
+    [1.0, 0.005, 0.0035, 0.0018, 0.0011, 0.0007, 0.0005], dtype=np.float64
 )
 
 # Cantilever-beam eigenvalue table: rows are tip-mass ratios mu, columns are
 # the first 7 eigenvalues beta_n of
 #   1 + cos(b)cosh(b) + b*mu*(cos(b)sinh(b) - sin(b)cosh(b)) = 0.
 # Reference: tables.rs:84-123 (Section 2.5 eigenvalue analysis).
-_EIG_MU = jnp.array([0.00, 0.01, 0.05, 0.10, 0.15, 0.20, 0.30, 0.50], dtype=jnp.float64)
-_EIG_BETAS = jnp.array(
+_EIG_MU = np.array([0.00, 0.01, 0.05, 0.10, 0.15, 0.20, 0.30, 0.50], dtype=np.float64)
+_EIG_BETAS = np.array(
     [
         [1.8751, 4.6941, 7.8548, 10.9955, 14.1372, 17.2788, 20.4204],
         [1.8584, 4.6849, 7.8504, 10.9930, 14.1356, 17.2776, 20.4195],
@@ -45,12 +46,12 @@ _EIG_BETAS = jnp.array(
         [1.5201, 4.4620, 7.7310, 10.9280, 14.0894, 17.2434, 20.3946],
         [1.3853, 4.3601, 7.6745, 10.8970, 14.0650, 17.2252, 20.3814],
     ],
-    dtype=jnp.float64,
+    dtype=np.float64,
 )
 
 # Tip-mass-ratio anchors across the keyboard (tables.rs:50-58).
-_MU_ANCHOR_MIDI = jnp.array([33.0, 52.0, 62.0, 74.0, 96.0], dtype=jnp.float64)
-_MU_ANCHOR_VAL = jnp.array([0.10, 0.00, 0.00, 0.02, 0.01], dtype=jnp.float64)
+_MU_ANCHOR_MIDI = np.array([33.0, 52.0, 62.0, 74.0, 96.0], dtype=np.float64)
+_MU_ANCHOR_VAL = np.array([0.10, 0.00, 0.00, 0.02, 0.01], dtype=np.float64)
 
 # Displacement-scale calibration (tables.rs:250-252, Apr-2026 retune).
 DS_AT_C4 = 0.85
@@ -66,13 +67,13 @@ MODE_DECAY_EXPONENT = 2.0
 
 # Register trim anchors from zero-trim full-chain calibration at v=127
 # (tables.rs:471-485).
-_TRIM_ANCHOR_MIDI = jnp.array(
+_TRIM_ANCHOR_MIDI = np.array(
     [36.0, 40.0, 44.0, 48.0, 52.0, 56.0, 60.0, 64.0, 68.0, 72.0, 76.0, 80.0, 84.0],
-    dtype=jnp.float64,
+    dtype=np.float64,
 )
-_TRIM_ANCHOR_DB = jnp.array(
+_TRIM_ANCHOR_DB = np.array(
     [-1.3, 0.0, -1.3, 0.7, 0.2, -1.0, 0.0, 0.9, 1.2, 0.0, 1.8, 2.4, 3.6],
-    dtype=jnp.float64,
+    dtype=np.float64,
 )
 
 # Output staging constants (tables.rs:533-557).
