@@ -206,6 +206,20 @@ def cmd_render_midi(args):
     from openwurli_tpu.engine import Engine
     from openwurli_tpu.io import midi_file, wav
 
+    if getattr(args, "fast", False):
+        from openwurli_tpu import fast
+
+        out = fast.render_midi_file(
+            args.input, args.sr, tail_seconds=args.tail,
+            volume=args.volume, depth=args.tremolo,
+            character=args.speaker)
+        wav.write_wav(args.output, np.asarray(out, np.float64), args.sr,
+                      bits=24)
+        print(f"Rendered {args.input} ({len(out)/args.sr:.1f}s, fused "
+              f"kernel event path) → {args.output} "
+              f"(peak {np.abs(out).max() if len(out) else 0.0:.4f})")
+        return
+
     events, total_s = midi_file.load_events(args.input)
     eng = Engine(args.sr)
     eng.set_volume(args.volume)
@@ -562,6 +576,10 @@ def build_parser():
     sp.add_argument("--tail", type=float, default=2.0)
     sp.add_argument("--sr", type=float, default=44_100.0)
     sp.add_argument("-o", "--output", default="/tmp/midi.wav")
+    sp.add_argument("--fast", action="store_true",
+                    help="event-capable fused-Pallas path (note-off/"
+                         "damper/sustain resolved host-side; "
+                         "fast.render_midi_file)")
 
     sp = add("alias-audit", cmd_alias_audit,
              help="Click-band aliasing audit (H6-H11 plateau + HF hash)")

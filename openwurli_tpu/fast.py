@@ -8,10 +8,21 @@ dataset rendering, serving); the f64 `engine.Engine` remains the
 reference-accurate interactive path (note-off/damper/sustain semantics,
 per-sample parameter smoothing).
 
-Limitations vs the engine path (by design of the sustained-render mode):
-notes start at t=0 and decay naturally (no note_off / damper / sustain
-pedal events), controls are static per stream, and the chain runs in f32
-deviation form (parity gates: tests/test_mono_chain.py).
+Two entry points:
+  * render_grid / render_chord — sustained notes from t=0 (calibration
+    sweeps, dataset rendering);
+  * render_events / render_midi_file — full MIDI event schedules
+    (note-on sample, note-off → damper, sustain pedal resolved host-side
+    into effective release samples) rendered block-streamed with state
+    carried across blocks, so arbitrary-length songs never materialise a
+    whole (T, V) voice array.
+
+Remaining differences vs the engine path: controls are static per stream
+(no per-sample smoothing ramps), voice allocation is append-one-lane-per
+-note-instance instead of 64-slot stealing (no steal crossfades — lanes
+are unlimited), note-on samples quantize to the 16-sample jitter grid,
+and the chain runs in f32 deviation form (parity gates:
+tests/test_mono_chain.py, tests/test_fast_events.py).
 """
 
 from __future__ import annotations
@@ -80,9 +91,125 @@ def render_chord(notes, velocity, seconds, sample_rate=44100.0, **kw):
     return out[:, 0]
 
 
+def schedule_events(events, sample_rate):
+    """Resolve a MIDI event stream into per-voice-instance schedules.
+
+    events: iterable of openwurli_tpu.io.midi_file.Event (kind "on" /
+    "off" / "sustain", absolute time_s). Mirrors the engine's sustain
+    semantics (engine.rs:299-374): note-off while the pedal is held
+    sustains the voice until pedal release; re-striking a ringing note
+    damps the old voice at the new note-on.
+
+    Returns (midis, vels, onsets, releases) as float64 arrays — onset /
+    release are sample indices (release = np.inf when never damped).
+    """
+    sr = float(sample_rate)
+    midis, vels, onsets, releases = [], [], [], []
+    ringing = {}          # note → lane of the currently-ringing instance
+    pending = set()       # lanes held only by the sustain pedal
+    sustain = False
+    for ev in events:
+        t = ev.time_s * sr
+        if ev.kind == "on":
+            old = ringing.get(ev.note)
+            if old is not None and releases[old] == np.inf:
+                releases[old] = t       # damp the re-struck voice
+                pending.discard(old)
+            lane = len(midis)
+            midis.append(float(ev.note))
+            vels.append(ev.velocity / 127.0)
+            onsets.append(t)
+            releases.append(np.inf)
+            ringing[ev.note] = lane
+        elif ev.kind == "off":
+            lane = ringing.get(ev.note)
+            if lane is not None and releases[lane] == np.inf:
+                if sustain:
+                    pending.add(lane)
+                else:
+                    releases[lane] = t
+        elif ev.kind == "sustain":
+            held = ev.velocity >= 64
+            if sustain and not held:
+                for lane in pending:
+                    releases[lane] = t
+                pending.clear()
+            sustain = held
+    return (np.asarray(midis), np.asarray(vels), np.asarray(onsets),
+            np.asarray(releases))
+
+
+def render_events(midis, velocities, onsets, releases, seconds,
+                  sample_rate=44100.0, volume=0.5, depth=0.5,
+                  character=0.0, warm_seconds=0.6, block_seconds=2.0,
+                  interpret=False, t_tile=None):
+    """Event-scheduled single-stream render → (T,) f32 mono.
+
+    midis/velocities/onsets/releases: per-voice-instance schedules (from
+    schedule_events, or hand-built); onset/release in samples. Renders in
+    carried-state blocks: memory stays O(block × lanes) regardless of
+    song length.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import voice_bank as vb
+
+    sr = float(sample_rate)
+    t_tile = t_tile or mc.T_TILE
+    t_total = int(round(seconds * sr))
+    t_blk = max(t_tile, int(round(block_seconds * sr)) // t_tile * t_tile)
+    n_blocks = -(-t_total // t_blk)
+
+    with jax.default_device(mc._cpu_device()):
+        mc.pack_consts(sr)
+        params, _ = vb.make_kernel_params(
+            np.asarray(midis, dtype=np.float64),
+            np.asarray(velocities, dtype=np.float64), sr,
+            onsets=onsets, releases=releases)
+        ctrl = mc.make_controls(sr, 1, volume=volume, depth=depth,
+                                character=character)
+        state = mc.init_state(sr, 1)
+        vstate = vb.init_bank_state(params)
+
+    params = jnp.asarray(params)
+    ctrl = jnp.asarray(ctrl)
+    state = jnp.asarray(state)
+    steady = vb.steady_limits(params)
+
+    if warm_seconds > 0.0:
+        t_warm = -(-int(warm_seconds * sr) // t_tile) * t_tile
+        silence = jnp.zeros((t_warm, 1), jnp.float32)
+        _, state = mc.render_tpu(sr, ctrl, state, silence,
+                                 interpret=interpret, t_tile=t_tile)
+
+    outs = []
+    for b in range(n_blocks):
+        voices, vstate = vb.render_voice_bank(
+            params, t_blk, interpret=interpret, steady=steady,
+            state=vstate, n0=b * t_blk, return_state=True)
+        audio = voices.sum(-1, keepdims=True)
+        out, state = mc.render_tpu(sr, ctrl, state, audio,
+                                   interpret=interpret, t_tile=t_tile)
+        outs.append(np.asarray(out[:, 0]))
+    return np.concatenate(outs)[:t_total]
+
+
+def render_midi_file(path, sample_rate=44100.0, tail_seconds=2.0, **kw):
+    """Render a Standard MIDI File through the fused-kernel fast path."""
+    from openwurli_tpu.io import midi_file
+
+    events, total_s = midi_file.load_events(path)
+    midis, vels, onsets, releases = schedule_events(events, sample_rate)
+    if midis.size == 0:
+        return np.zeros(0, dtype=np.float32)
+    return render_events(midis, vels, onsets, releases,
+                         total_s + tail_seconds, sample_rate, **kw)
+
+
 def render_grid_sharded(mesh, midis, velocities, seconds,
                         sample_rate=44100.0, volume=0.5, depth=0.5,
-                        character=0.0, interpret=False,
+                        character=0.0, warm_seconds=0.0, interpret=False,
                         t_tile=None):
     """Multi-chip batch render: streams sharded over the mesh's data axis.
 
@@ -132,13 +259,24 @@ def render_grid_sharded(mesh, midis, velocities, seconds,
     params_sh = jax.device_put(params, sharded)
 
     s_local = s // n_dev
+    # steady gating must be uniform across devices (it is a static trace
+    # constant): use the global maximum over all shards' params.
+    steady = tuple(int(max(x)) for x in
+                   zip(*(vb.steady_limits(p) for p in params_all)))
+    t_warm = -(-int(warm_seconds * sr) // t_tile) * t_tile \
+        if warm_seconds > 0.0 else 0
 
     def per_device(params_d, ctrl_d, state_d):
         # (1, rows, 8, lanes), (S_loc, C), (S_loc, R) → local render
+        state_l = state_d.T
+        if t_warm:
+            silence = jnp.zeros((t_warm, s_local), jnp.float32)
+            _, state_l = mc.render_tpu(sr, ctrl_d.T, state_l, silence,
+                                       interpret=interpret, t_tile=t_tile)
         voices = vb.render_voice_bank(params_d[0], t_pad,
-                                      interpret=interpret)
+                                      interpret=interpret, steady=steady)
         audio = voices[:, :s_local * v].reshape(t_pad, s_local, v).sum(-1)
-        out, st = mc.render_tpu(sr, ctrl_d.T, state_d.T, audio,
+        out, st = mc.render_tpu(sr, ctrl_d.T, state_l, audio,
                                 interpret=interpret, t_tile=t_tile)
         return out.T  # (S_loc, T) so the batch axis stays leading
 

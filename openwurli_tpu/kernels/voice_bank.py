@@ -13,11 +13,22 @@ quadrature renorm bounds rotation drift and the −60 dB parity gate sits
 well above f32's noise floor for second-long renders (validated against
 the f64 scan in tests/test_voice_kernel.py).
 
-Covers the note-on render path used by calibration/batch workloads (onset
-ramp, OU jitter subsampled every 16 samples, attack-noise burst through
-its bandpass biquad, natural decay, quadrature renorm every 1024, pickup
-bilinear charge + post gain); the damper (note-off) path stays in the f64
-scan engine.
+Covers the full event-capable voice lifecycle:
+  * note-on at a per-voice onset sample (quantized to 16 samples so the
+    OU-jitter subsample grid — and therefore the LCG stream — stays
+    bit-identical to the f64 path, reed.rs:266-271 semantics);
+  * onset ramp, OU jitter every 16 samples, attack-noise burst through
+    its bandpass biquad, natural decay, quadrature renorm every 1024,
+    pickup bilinear charge + post gain;
+  * note-off at a per-voice release sample: the reference's 3-phase
+    progressive damper (reed.rs:191-216 — register-dependent ramp
+    50/25/8 ms, higher modes ×3^m faster, top 5 keys undamped).
+Sustain-pedal semantics are resolved by the host scheduler into effective
+release samples (openwurli_tpu/fast.py:schedule_events).
+
+State can be carried across kernel invocations (block streaming): pass
+`state` from a previous call plus the global start sample `n0` to continue
+a render without keeping the whole (T, V) voice output resident.
 """
 
 from __future__ import annotations
@@ -39,6 +50,7 @@ JITTER_SUBSAMPLE = 16
 RENORM_INTERVAL = 1024
 NOISE_FADE_IN = 16
 T_TILE = 512
+NEVER = 1.0e12  # release sentinel: voice is never damped
 
 # params rows. Rotation/decay coefficients are stored as DEVIATIONS
 # (cos−1, 1−decay) computed in f64: the raw values sit so close to 1.0
@@ -47,50 +59,62 @@ T_TILE = 512
 # are small numbers that f32 carries with full relative precision.
 ROW_COSM1, ROW_SIN, ROW_PHASE, ROW_AMP, ROW_DECAYM1 = 0, 1, 2, 3, 4
 ROW_SCAL, ROW_DRIFT0, ROW_RNG0, ROW_NOISE = 5, 6, 7, 8
-N_ROWS = 9
+# Event rows (onset/release schedule + damper constants)
+ROW_EVT, ROW_DRATE, ROW_DM1 = 9, 10, 11
+N_ROWS = 12
+
+# ROW_EVT sublanes
+EVT_ONSET_F, EVT_RELEASE_F, EVT_RAMP, EVT_ONSET_I = 0, 1, 2, 3
+
+# Packed carry-state layout: (STATE_ROWS, V) f32 (int rows bitcast).
+#   s 0:8 | c 8:16 | env 16:24 | drift 24:32 | nstate 32:40 | irng 40:48
+# nstate rows: 0 noise amp, 1 z1, 2 z2, 3 onset cache, 4 noise cache,
+#              5 pickup q; irng rows: 0 jitter LCG, 1 noise LCG.
+STATE_ROWS = 48
+_S0, _C0, _E0, _D0, _N0, _I0 = 0, 8, 16, 24, 32, 40
 
 
 def _lcg(st):
     return st * jnp.uint32(1664525) + jnp.uint32(1013904223)
 
 
-def _make_kernel(t_tile, steady):
-    def _kernel(params_ref, out_ref, s_ref, c_ref, env_ref, drift_ref,
-                q_ref, nstate_ref, irng_ref, nf_ref):
-        return _kernel_body(t_tile, steady, params_ref, out_ref, s_ref,
-                            c_ref, env_ref, drift_ref, q_ref, nstate_ref,
-                            irng_ref, nf_ref)
+def _make_kernel(t_tile, steady, events, min_release):
+    def _kernel(n0i_ref, n0f_ref, params_ref, state_in_ref, out_ref,
+                state_out_ref, s_ref, c_ref, env_ref, drift_ref,
+                nstate_ref, irng_ref, nf_ref):
+        return _kernel_body(t_tile, steady, events, min_release,
+                            n0i_ref, n0f_ref, params_ref, state_in_ref,
+                            out_ref, state_out_ref, s_ref, c_ref, env_ref,
+                            drift_ref, nstate_ref, irng_ref, nf_ref)
     return _kernel
 
 
-def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
-                 env_ref, drift_ref, q_ref, nstate_ref, irng_ref, nf_ref):
+def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
+                 params_ref, state_in_ref, out_ref, state_out_ref, s_ref,
+                 c_ref, env_ref, drift_ref, nstate_ref, irng_ref, nf_ref):
     """One grid step renders t_tile samples for all lanes voices.
 
-    steady: None, or (onset_done, noise_done) sample counts after which
-    ALL voices' onset ramps / attack noises have finished — the
+    steady: None, or (onset_done, noise_done) global sample counts after
+    which ALL voices' onset ramps / attack noises have finished — the
     transcendental onset shaping and the noise chain then run under a
     scalar pl.when and their cached scratch rows (nstate rows 3, 4) feed
-    the steady-state samples for free."""
+    the steady-state samples for free.
+
+    events: static flag enabling the onset/release schedule + damper.
+    min_release: static float — earliest possible release sample (the
+    damper block runs under a scalar pl.when past it)."""
     tile = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
 
     @pl.when(tile == 0)
     def _init():
-        s_ref[:] = jnp.zeros_like(s_ref)
-        c_ref[:] = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, c_ref.shape, 0) < NUM_MODES,
-            1.0, 0.0)
-        env_ref[:] = jnp.ones_like(env_ref)
-        drift_ref[:] = params_ref[ROW_DRIFT0]
-        q_ref[:] = jnp.ones_like(q_ref)
-        # int state rows: 0 = jitter LCG, 1 = noise LCG
-        irng_ref[:] = pltpu.bitcast(params_ref[ROW_RNG0], jnp.int32)
-        # noise float state rows: 0 = current amp, 1 = z1, 2 = z2
-        namp = params_ref[ROW_NOISE][0:1, :]
-        nstate_ref[:] = jnp.concatenate(
-            [namp, jnp.zeros((SUBLANES - 1, namp.shape[1]), jnp.float32)],
-            axis=0)
-        nf_ref[0, 0] = 0.0
+        s_ref[:] = state_in_ref[_S0:_S0 + 8]
+        c_ref[:] = state_in_ref[_C0:_C0 + 8]
+        env_ref[:] = state_in_ref[_E0:_E0 + 8]
+        drift_ref[:] = state_in_ref[_D0:_D0 + 8]
+        nstate_ref[:] = state_in_ref[_N0:_N0 + 8]
+        irng_ref[:] = pltpu.bitcast(state_in_ref[_I0:_I0 + 8], jnp.int32)
+        nf_ref[0, 0] = n0f_ref[0]
 
     cosm1 = params_ref[ROW_COSM1]      # cos(θ) − 1
     sin_inc = params_ref[ROW_SIN]
@@ -115,6 +139,16 @@ def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
     na1 = nz[5:6, :]
     na2 = nz[6:7, :]
 
+    if events:
+        evt = params_ref[ROW_EVT]
+        onset_f = evt[EVT_ONSET_F:EVT_ONSET_F + 1, :]
+        release_f = evt[EVT_RELEASE_F:EVT_RELEASE_F + 1, :]
+        ramp_f = evt[EVT_RAMP:EVT_RAMP + 1, :]
+        onset_i = pltpu.bitcast(
+            evt[EVT_ONSET_I:EVT_ONSET_I + 1, :], jnp.int32)
+        drate = params_ref[ROW_DRATE]
+        dm1 = params_ref[ROW_DM1]
+
     base_n = tile * t_tile
 
     # Mosaic's scalar int→float convert lowering recurses in this jax
@@ -122,16 +156,23 @@ def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
     # counter (exact to 2^24 samples ≈ 380 s) in SMEM across tiles; the
     # int `n` serves the bitwise subsample/renorm tests only.
     def body(i, n_f):
-        n = base_n + i
+        n = n0i_ref[0] + base_n + i
+
+        if events:
+            n_loc = n_f - onset_f            # (1, V), <0 before onset
+            active = n_loc >= 0.0
+        else:
+            n_loc = n_f
+            active = None
 
         def compute_onset():
-            cosine = 0.5 * (1.0 - jnp.cos(n_f * onset_inc))
+            cosine = 0.5 * (1.0 - jnp.cos(n_loc * onset_inc))
             shaped = jnp.where(
                 onset_exp <= 1.001, cosine,
                 jnp.where(onset_exp >= 1.999, cosine * cosine,
                           jnp.power(jnp.maximum(cosine, 1e-30),
                                     onset_exp)))
-            return jnp.where(n_f < onset_samps, shaped, 1.0)
+            return jnp.where(n_loc < onset_samps, shaped, 1.0)
 
         if steady is None:
             onset = compute_onset()
@@ -158,40 +199,70 @@ def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
                 noise = (u * 2.0 - 1.0) * jnp.float32(1.7320508080)
                 rows.append(revert * drift[m:m + 1, :] + diffusion * noise)
             rows.append(drift[NUM_MODES:, :])  # pad rows stay zero
-            drift_ref[:] = jnp.concatenate(rows, axis=0)
-            irng_ref[0:1, :] = pltpu.bitcast(st, jnp.int32)
+            new_drift = jnp.concatenate(rows, axis=0)
+            if events:
+                # Pre-onset voices' LCG streams must not advance: the
+                # stream starts at note-on in the reference.
+                drift_ref[:] = jnp.where(active, new_drift, drift)
+                irng_ref[0:1, :] = jnp.where(
+                    active, pltpu.bitcast(st, jnp.int32), irng_ref[0:1, :])
+            else:
+                drift_ref[:] = new_drift
+                irng_ref[0:1, :] = pltpu.bitcast(st, jnp.int32)
 
         s = s_ref[:]
         c = c_ref[:]
         env = env_ref[:]
         drift = drift_ref[:]
 
+        if events:
+            # 3-phase progressive damper (reed.rs:191-216): release
+            # count t starts at 1 on the release sample; exponential
+            # ramp-in of the damping rate over ramp_f samples, then the
+            # constant per-mode multiplier (stored as 1−mult deviation).
+            @pl.when(n_f >= jnp.float32(min_release))
+            def _damper():
+                t_rel = n_f - release_f + 1.0
+                damp_on = t_rel >= 1.0
+                in_ramp = jnp.logical_and(damp_on, t_rel <= ramp_f)
+                post = jnp.logical_and(damp_on, t_rel > ramp_f)
+                inst = drate * (t_rel / jnp.maximum(ramp_f, 1.0))
+                env0 = env_ref[:]
+                env1 = jnp.where(in_ramp, env0 * jnp.exp(-inst), env0)
+                env_ref[:] = jnp.where(post, env1 - env1 * dm1, env1)
+
+            env = env_ref[:]
+
         contrib = amplitude * s * onset * env
         mono = jnp.sum(contrib, axis=0, keepdims=True)  # (1, V)
 
         # Attack noise: LCG → bandpass biquad (DF-II-T) → amp env, while
-        # sample index < duration; raised-cosine 16-sample fade-in.
+        # local sample index < duration; raised-cosine 16-sample fade-in.
         def compute_noise():
             nst = pltpu.bitcast(irng_ref[1:2, :], jnp.uint32)
             nst = _lcg(nst)
             white = nst.astype(jnp.int32).astype(jnp.float32) \
                 * jnp.float32(1.0 / 2147483647.0)
-            irng_ref[1:2, :] = pltpu.bitcast(nst, jnp.int32)
+            nact = n_loc < noise_dur
+            if events:
+                nact = jnp.logical_and(nact, active)
+                irng_ref[1:2, :] = jnp.where(
+                    active, pltpu.bitcast(nst, jnp.int32), irng_ref[1:2, :])
+            else:
+                irng_ref[1:2, :] = pltpu.bitcast(nst, jnp.int32)
             namp = nstate_ref[0:1, :]
             z1 = nstate_ref[1:2, :]
             z2 = nstate_ref[2:3, :]
             filtered = nb0 * white + z1
             z1_new = -na1 * filtered + z2  # b1 = 0 for this bandpass
             z2_new = nb2 * white - na2 * filtered
-            active = n_f < noise_dur
-            fade_t = jnp.minimum(n_f / NOISE_FADE_IN, 1.0)
+            fade_t = jnp.minimum(n_loc / NOISE_FADE_IN, 1.0)
             fade = 0.5 * (1.0 - jnp.cos(jnp.float32(np.pi) * fade_t))
-            fade = jnp.where(n_f < NOISE_FADE_IN, fade, 1.0)
-            noise_out = jnp.where(active, namp * fade * filtered, 0.0)
-            nstate_ref[0:1, :] = jnp.where(active, namp * noise_decay,
-                                           namp)
-            nstate_ref[1:2, :] = jnp.where(active, z1_new, z1)
-            nstate_ref[2:3, :] = jnp.where(active, z2_new, z2)
+            fade = jnp.where(n_loc < NOISE_FADE_IN, fade, 1.0)
+            noise_out = jnp.where(nact, namp * fade * filtered, 0.0)
+            nstate_ref[0:1, :] = jnp.where(nact, namp * noise_decay, namp)
+            nstate_ref[1:2, :] = jnp.where(nact, z1_new, z1)
+            nstate_ref[2:3, :] = jnp.where(nact, z2_new, z2)
             return noise_out
 
         if steady is None:
@@ -214,13 +285,25 @@ def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
         s_new = s + (s * a + c * b)
         c_new = c + (c * a - s * b)
 
-        do_renorm = jnp.logical_and((n & (RENORM_INTERVAL - 1)) == 0, n > 0)
+        if events:
+            n_loc_i = n - onset_i            # (1, V) int32
+            do_renorm = jnp.logical_and(
+                (n_loc_i & (RENORM_INTERVAL - 1)) == 0, n_loc_i > 0)
+        else:
+            do_renorm = jnp.logical_and((n & (RENORM_INTERVAL - 1)) == 0,
+                                        n > 0)
         r_sq = s_new * s_new + c_new * c_new
         r_inv = jax.lax.rsqrt(jnp.maximum(r_sq, 1e-30))
         scale = jnp.where(do_renorm, r_inv, 1.0)
-        s_ref[:] = s_new * scale
-        c_ref[:] = c_new * scale
-        env_ref[:] = env - env * decaym1
+        if events:
+            # Pre-onset voices stay frozen at their note-on state.
+            s_ref[:] = jnp.where(active, s_new * scale, s)
+            c_ref[:] = jnp.where(active, c_new * scale, c)
+            env_ref[:] = jnp.where(active, env - env * decaym1, env)
+        else:
+            s_ref[:] = s_new * scale
+            c_ref[:] = c_new * scale
+            env_ref[:] = env - env * decaym1
 
         # Pickup: bilinear charge update with C1 soft saturation
         y_raw = mono * ds
@@ -232,9 +315,9 @@ def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
         y = jnp.where(abs_y < knee, y_raw, jnp.where(y_raw >= 0, sat, -sat))
         omy = 1.0 - y
         alpha = beta * omy
-        q = q_ref[0:1, :]
+        q = nstate_ref[5:6, :]
         q_next = (q * (1.0 - alpha) + 2.0 * beta) / (1.0 + alpha)
-        q_ref[0:1, :] = q_next
+        nstate_ref[5:6, :] = q_next
         out = (q_next * omy - 1.0) * jnp.float32(
             pickup_mod.PICKUP_SENSITIVITY) * post_gain
 
@@ -246,99 +329,193 @@ def _kernel_body(t_tile, steady, params_ref, out_ref, s_ref, c_ref,
     nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile),
                                      body, nf_ref[0, 0])
 
+    @pl.when(tile == n_tiles - 1)
+    def _fin():
+        state_out_ref[_S0:_S0 + 8] = s_ref[:]
+        state_out_ref[_C0:_C0 + 8] = c_ref[:]
+        state_out_ref[_E0:_E0 + 8] = env_ref[:]
+        state_out_ref[_D0:_D0 + 8] = drift_ref[:]
+        state_out_ref[_N0:_N0 + 8] = nstate_ref[:]
+        state_out_ref[_I0:_I0 + 8] = pltpu.bitcast(irng_ref[:], jnp.float32)
+
+
+def init_bank_state(params) -> np.ndarray:
+    """Fresh note-on state for a packed params array → (STATE_ROWS, V)."""
+    p = np.asarray(params)
+    lanes = p.shape[-1]
+    st = np.zeros((STATE_ROWS, lanes), dtype=np.float32)
+    st[_C0:_C0 + NUM_MODES] = 1.0                     # c = 1 (modes only)
+    st[_E0:_E0 + 8] = 1.0                             # env = 1
+    st[_D0:_D0 + 8] = p[ROW_DRIFT0]                   # OU drift init
+    st[_N0 + 0] = p[ROW_NOISE][0]                     # noise amplitude
+    st[_N0 + 5] = 1.0                                 # pickup q
+    st[_I0:_I0 + 8] = p[ROW_RNG0]                     # LCG seeds (bitcast)
+    return st
+
 
 def steady_limits(params):
     """(onset_done, noise_done) global sample counts for the `steady`
     gating, from a packed params array (+64-sample safety margin so the
     cached rows pass through their exact final values)."""
     p = np.asarray(params)
-    onset = int(np.ceil(p[ROW_SCAL][0].max())) + 64
-    noise = int(np.ceil(p[ROW_NOISE][2].max())) + 64
+    onset0 = p[ROW_EVT][EVT_ONSET_F] if p.shape[0] > ROW_EVT else 0.0
+    onset = int(np.ceil((onset0 + p[ROW_SCAL][0]).max())) + 64
+    noise = int(np.ceil((onset0 + p[ROW_NOISE][2]).max())) + 64
     return onset, noise
 
 
+def _has_events(params) -> bool:
+    p = np.asarray(params)
+    if p.shape[0] <= ROW_EVT:
+        return False
+    evt = p[ROW_EVT]
+    return bool((evt[EVT_ONSET_F] > 0).any()
+                or (evt[EVT_RELEASE_F] < NEVER).any())
+
+
+def _min_release(params) -> float:
+    rel = np.asarray(params)[ROW_EVT][EVT_RELEASE_F]
+    return float(rel.min()) if rel.size else NEVER
+
+
 def render_voice_bank(params, num_samples: int, interpret: bool = False,
-                      steady=None):
+                      steady=None, state=None, n0: int = 0,
+                      events=None, return_state: bool = False):
     """Render V voices × num_samples through the fused kernel.
 
     params: (N_ROWS, 8, V) f32 with V a multiple of 128 (see
     make_kernel_params — the per-kernel-step cost on this platform is a
     near-constant floor, so WIDE voice counts amortise it). The output
     tile shrinks automatically at wide V to stay within VMEM.
-    Returns (num_samples, V) f32 post-pickup voice outputs.
+
+    state/n0: carry state across block-streamed calls (state from a
+    previous call's return_state=True, n0 = global start sample, a
+    multiple of 16). events: force the event path on/off (default: auto
+    from the params schedule). Returns (num_samples, V) f32 post-pickup
+    voice outputs, or (out, state') when return_state.
 
     Runs under an x32 config context: jax_enable_x64 (on globally for the
     circuit solvers) crashes the Mosaic TPU backend's layout inference
     even for trivial kernels on this stack.
     """
+    if events is None:
+        events = _has_events(params)
+    min_rel = _min_release(np.asarray(params)) if events else NEVER
+    assert n0 % JITTER_SUBSAMPLE == 0, n0
     with jax.enable_x64(False):
         lanes = params.shape[-1]
+        if state is None:
+            state = init_bank_state(params)
         if lanes <= 8192:
-            return _render_voice_bank_jit(params, num_samples, interpret,
-                                          steady)
+            out, st = _render_voice_bank_jit(
+                jnp.asarray(params), jnp.asarray(state),
+                jnp.asarray([n0], jnp.int32),
+                jnp.asarray([n0], jnp.float32),
+                num_samples, interpret, steady, bool(events),
+                float(min_rel))
+            return (out, st) if return_state else out
         # Wider banks exceed VMEM (params are pipeline-double-buffered):
         # render in 8192-lane chunks and stitch.
-        chunks = [
-            _render_voice_bank_jit(params[..., i:i + 8192], num_samples,
-                                   interpret, steady)
-            for i in range(0, lanes, 8192)]
-        return jnp.concatenate(chunks, axis=-1)
+        outs, sts = [], []
+        for i in range(0, lanes, 8192):
+            o, s = _render_voice_bank_jit(
+                jnp.asarray(params[..., i:i + 8192]),
+                jnp.asarray(state[..., i:i + 8192]),
+                jnp.asarray([n0], jnp.int32),
+                jnp.asarray([n0], jnp.float32),
+                num_samples, interpret, steady, bool(events),
+                float(min_rel))
+            outs.append(o)
+            sts.append(s)
+        out = jnp.concatenate(outs, axis=-1)
+        if return_state:
+            return out, jnp.concatenate(sts, axis=-1)
+        return out
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def _render_voice_bank_jit(params, num_samples: int, interpret: bool,
-                           steady=None):
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
+                           interpret: bool, steady, events: bool,
+                           min_release: float):
     lanes = params.shape[-1]
     # Output tile ≤ ~1 MB so params + scratch + double-buffered output
     # stay inside the 16 MB VMEM budget at wide lane counts.
     t_tile = max(32, min(T_TILE, (1 << 20) // (lanes * 4) // 32 * 32))
     n_tiles = (num_samples + t_tile - 1) // t_tile
     total = n_tiles * t_tile
-    out = pl.pallas_call(
-        _make_kernel(t_tile, steady),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec((N_ROWS, SUBLANES, lanes),
-                               lambda t: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((t_tile, lanes), lambda t: (t, 0),
+                               lambda t, *_: (0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((total, lanes), jnp.float32),
+                  pl.BlockSpec((STATE_ROWS, lanes), lambda t, *_: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((t_tile, lanes), lambda t, *_: (t, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((STATE_ROWS, lanes), lambda t, *_: (0, 0),
+                                memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # s
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # c
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # env
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # drift
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # pickup q
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise amp/z1/z2
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise + pickup q
             pltpu.VMEM((SUBLANES, lanes), jnp.int32),    # LCG states
             pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
         ],
+    )
+    out, state_out = pl.pallas_call(
+        _make_kernel(t_tile, steady, events, min_release),
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((total, lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((STATE_ROWS, lanes), jnp.float32)),
         interpret=interpret,
-    )(params)
-    return out[:num_samples]
+    )(n0i, n0f, params, state)
+    return out[:num_samples], state_out
+
+
+def damper_rows(midi_notes, sample_rate):
+    """Per-voice damper constants (reed.rs:191-216 / reed.start_damper).
+
+    Returns (rate (8, V), one_minus_mult (8, V), ramp_samples (V,),
+    undamped (V,) bool) in f64.
+    """
+    m = np.asarray(midi_notes, dtype=np.float64)
+    base_rate = np.maximum(55.0 * 2.0 ** ((m - 60.0) / 24.0), 0.5)
+    mode_pow = 3.0 ** np.arange(NUM_MODES, dtype=np.float64)
+    factor = np.minimum(base_rate[None, :] * mode_pow[:, None], 2000.0)
+    rate = factor / sample_rate                       # (7, V)
+    rate8 = np.zeros((SUBLANES, m.shape[0]))
+    rate8[:NUM_MODES] = rate
+    dm1 = -np.expm1(-rate8)
+    ramp_time = np.select([m < 48.0, m < 72.0], [0.050, 0.025], 0.008)
+    return rate8, dm1, ramp_time * sample_rate, m >= 92.0
 
 
 def make_kernel_params(midi_notes, velocities, sample_rate,
-                       mlp_enabled=False, lanes=None):
+                       mlp_enabled=False, lanes=None,
+                       onsets=None, releases=None):
     """Pack per-voice note-on parameters into the kernel layout.
 
     midi_notes/velocities: up to `lanes` entries (padded with silent
     voices); lanes defaults to the next multiple of 128.
+    onsets: per-voice note-on sample indices (rounded to multiples of 16
+    — the jitter subsample grid); releases: per-voice damper-start sample
+    indices (np.inf / omitted = never; top-5 keys are never damped).
     Returns (params (N_ROWS, 8, lanes) f32, n_active).
     """
-    from openwurli_tpu import voice
-
     m = np.asarray(midi_notes, dtype=np.float64)
     v = np.asarray(velocities, dtype=np.float64)
     n_active = m.shape[0]
     lanes = lanes or max(128, ((n_active + 127) // 128) * 128)
     assert n_active <= lanes
     return _make_kernel_params_inner(m, v, n_active, sample_rate,
-                                     mlp_enabled, lanes)
+                                     mlp_enabled, lanes, onsets, releases)
 
 
 def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
-                              lanes):
+                              lanes, onsets=None, releases=None):
     from openwurli_tpu import voice
 
     vparams, detuned = voice.note_on_params(
@@ -383,7 +560,30 @@ def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
     nrow[5] = pad_scalar(np.asarray(vparams.noise.bpf.a1))
     nrow[6] = pad_scalar(np.asarray(vparams.noise.bpf.a2))
 
-    import jax.numpy as _jnp
+    # Event schedule + damper constants
+    if onsets is None:
+        on = np.zeros(n_active)
+    else:
+        on = np.asarray(onsets, dtype=np.float64)
+        on = np.round(on / JITTER_SUBSAMPLE) * JITTER_SUBSAMPLE
+    if releases is None:
+        rel = np.full(n_active, NEVER)
+    else:
+        rel = np.asarray(releases, dtype=np.float64).copy()
+        rel[~np.isfinite(rel)] = NEVER
+    rate8, dm1, ramp, undamped = damper_rows(m, sample_rate)
+    rel = np.where(undamped, NEVER, rel)
+    evt = np.zeros((SUBLANES, lanes), dtype=np.float32)
+    evt[EVT_ONSET_F] = pad_scalar(on)
+    evt[EVT_RELEASE_F] = pad_scalar(rel, fill=NEVER)
+    evt[EVT_RAMP] = pad_scalar(ramp, fill=1.0)
+    oi = np.zeros(lanes, dtype=np.int32)
+    oi[:n_active] = on.astype(np.int64).astype(np.int32)
+    evt[EVT_ONSET_I] = oi.view(np.float32)
+    drate_rows = np.zeros((SUBLANES, lanes), dtype=np.float32)
+    drate_rows[:, :n_active] = rate8.astype(np.float32)
+    dm1_rows = np.zeros((SUBLANES, lanes), dtype=np.float32)
+    dm1_rows[:, :n_active] = dm1.astype(np.float32)
 
     params = np.stack([
         pad_modes(np.asarray(rp.cos_inc, dtype=np.float64) - 1.0),
@@ -395,5 +595,8 @@ def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
         drift0,
         rng0.view(np.float32),
         nrow,
+        evt,
+        drate_rows,
+        dm1_rows,
     ], axis=0)
     return jnp.asarray(params), n_active

@@ -1,0 +1,142 @@
+"""Event-capable fused voice bank: onset/release schedules, damper,
+state-carried block streaming, and the host-side sustain scheduler.
+
+Parity reference is the f64 scan path (voice.render + voice.note_off at
+the release sample). Gate: the project-wide −60 dB peak deviation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openwurli_tpu import fast, voice
+from openwurli_tpu.io.midi_file import Event
+from openwurli_tpu.kernels import voice_bank
+
+SR = 44100.0
+
+
+def _ref_voice(midi, vel, total, release=None):
+    """f64 single-voice render with an optional note_off at `release`."""
+    vp, det = voice.note_on_params(jnp.asarray([midi]), jnp.asarray([vel]),
+                                   SR, mlp_enabled=False)
+    st = voice.init_state(vp, det, jnp.asarray([vel]), SR,
+                          voice.default_note_seed(jnp.asarray([midi])))
+    if release is None or release >= total:
+        st, out = voice.render(vp, st, total)
+        return np.asarray(out[:, 0])
+    st, head = voice.render(vp, st, release)
+    st = voice.note_off(vp, st, SR)
+    st, tail = voice.render(vp, st, total - release)
+    return np.concatenate([np.asarray(head[:, 0]), np.asarray(tail[:, 0])])
+
+
+def _err_db(ref, got):
+    peak = np.abs(ref).max()
+    return 20 * np.log10(max(np.abs(got - ref).max(), 1e-300) / peak)
+
+
+@pytest.mark.slow
+def test_event_kernel_matches_scan_within_60db():
+    """Staggered onsets + releases (all three damper-ramp registers and
+    an undamped top key) against the f64 path."""
+    notes = [50.0, 69.0, 95.0, 60.0]
+    vels = [0.9, 0.8, 0.85, 0.7]
+    onsets = [0, 512, 1024, 2048]
+    releases = [4000, 6000, 5000, np.inf]
+    total = 12000
+
+    params, n_active = voice_bank.make_kernel_params(
+        notes, vels, SR, onsets=onsets, releases=releases)
+    out_k = np.asarray(voice_bank.render_voice_bank(params, total,
+                                                    True))[:, :n_active]
+    for k in range(n_active):
+        on, rel = onsets[k], releases[k]
+        rel_local = None if not np.isfinite(rel) else int(rel) - on
+        ref = _ref_voice(notes[k], vels[k], total - on, rel_local)
+        got = out_k[:, k]
+        assert np.abs(got[:on]).max() == 0.0 if on else True
+        db = _err_db(ref, got[on:])
+        assert db < -60.0, f"voice {k} (midi {notes[k]}): {db:.1f} dB"
+        if rel_local is not None and notes[k] < 92.0:
+            # the damper actually damps: post-release tail decays
+            # (top-5 keys, midi ≥ 92, are undamped by design)
+            pre = np.abs(ref[rel_local - 256:rel_local]).max()
+            post = np.abs(ref[-256:]).max()
+            assert post < 0.1 * pre, (pre, post)
+
+
+def test_trivial_schedule_is_bit_exact_with_plain_path():
+    """onsets=0 / releases=inf through the event code path must match
+    the no-event kernel sample-for-sample."""
+    notes = [60.0, 72.0]
+    vels = [0.8, 0.9]
+    total = 2048
+    params, _ = voice_bank.make_kernel_params(notes, vels, SR)
+    a = np.asarray(voice_bank.render_voice_bank(params, total, True,
+                                                events=False))
+    b = np.asarray(voice_bank.render_voice_bank(params, total, True,
+                                                events=True))
+    assert np.array_equal(a, b), np.abs(a - b).max()
+
+
+def test_state_carry_blocks_are_bit_exact():
+    """Two carried-state blocks == one continuous render."""
+    notes = [55.0, 70.0]
+    vels = [0.85, 0.75]
+    total = 4096
+    params, _ = voice_bank.make_kernel_params(
+        notes, vels, SR, onsets=[0, 1024], releases=[3000, np.inf])
+    whole = np.asarray(voice_bank.render_voice_bank(params, total, True))
+    half = total // 2
+    a, st = voice_bank.render_voice_bank(params, half, True,
+                                         return_state=True)
+    b = voice_bank.render_voice_bank(params, half, True, state=st,
+                                     n0=half)
+    stitched = np.concatenate([np.asarray(a), np.asarray(b)])
+    assert np.array_equal(whole, stitched), np.abs(whole - stitched).max()
+
+
+def test_schedule_events_sustain_semantics():
+    """note-off under a held pedal defers the damper to pedal release;
+    re-striking a ringing note damps the old instance."""
+    ev = [
+        Event(0.00, "on", 60, 100),
+        Event(0.05, "sustain", 0, 127),   # pedal down
+        Event(0.10, "off", 60, 0),        # held by pedal
+        Event(0.15, "on", 64, 90),
+        Event(0.20, "on", 60, 80),        # re-strike: damps instance 0
+        Event(0.25, "off", 64, 0),        # held by pedal
+        Event(0.30, "sustain", 0, 0),     # pedal up: releases pending 64
+        Event(0.50, "off", 60, 0),        # releases instance 2
+    ]
+    midis, vels, onsets, releases = fast.schedule_events(ev, 1000.0)
+    assert midis.tolist() == [60.0, 64.0, 60.0]
+    assert onsets.tolist() == [0.0, 150.0, 200.0]
+    # instance 0: note-off at 0.10 deferred by the pedal, then damped
+    # early by the re-strike at 0.20
+    assert releases[0] == 200.0
+    # instance 1 (64): note-off at 0.25 held, released at pedal-up 0.30
+    assert releases[1] == 300.0
+    # instance 2: plain note-off at 0.50 (pedal already up)
+    assert releases[2] == 500.0
+
+
+@pytest.mark.slow
+def test_render_events_end_to_end():
+    """Block-streamed full-chain event render produces finite audio that
+    starts at the first onset and decays after the last release."""
+    midis = np.array([60.0, 64.0, 67.0])
+    vels = np.array([0.9, 0.85, 0.8])
+    onsets = np.array([0.0, 2048.0, 4096.0])
+    releases = np.array([20000.0, 22000.0, 24000.0])
+    out = fast.render_events(midis, vels, onsets, releases,
+                             seconds=44032 / SR, warm_seconds=0.0,
+                             block_seconds=0.25, interpret=True,
+                             t_tile=256)
+    assert out.shape[0] == 44032
+    assert np.isfinite(out).all()
+    body = np.abs(out[6000:20000]).max()
+    tail = np.abs(out[-2000:]).max()
+    assert body > 1e-4
+    assert tail < 0.2 * body
