@@ -49,7 +49,14 @@ from openwurli_tpu.circuits import power_amp as pamod
 from openwurli_tpu.circuits import tremolo as trmod
 from openwurli_tpu.ops import allpass, biquad
 
-TREM_SUB_OS = 8          # tremolo update period in oversampled samples
+# Tremolo update period in oversampled samples. 4 (not 8): the chain's
+# output at loud tremolo drive is hypersensitive to the LDR trajectory —
+# the f64 reference itself moves −39 dB under a 0.1 % gldr perturbation
+# (junction turn-on at the crest is a bifurcation) — so tremolo accuracy
+# is the full-chain parity limiter; at 4 + inter-update interpolation the
+# kernel sits at the reference's own sensitivity bound (−40 dB at loud
+# drive, −44 dB at note level, tests/test_mono_chain.py).
+TREM_SUB_OS = 4
 SUB_BASE = TREM_SUB_OS // 2  # in base samples
 N_PA_ITERS = 8
 # Full-Newton iterations; any remainder reuses the last LU factors
@@ -61,7 +68,7 @@ N_PA_ITERS = 8
 # cost ~2 µs/iteration each in Mosaic).
 PA_REFRESH_ITERS = tuple(range(N_PA_ITERS))
 N_PRE_ITERS = 3
-N_TREM_ITERS = 2
+N_TREM_ITERS = 3
 PA_CONV_TOL = 1e-4   # NR mask: recentred-residual f32 noise floor is ~1e-5
 # Output-hold threshold [port V]. Transient crossover residuals of ~1e-2
 # still yield a nearly-correct output sample — holding the previous one
@@ -169,6 +176,13 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
         pre_sfbni0=float(sfbni[0]), pre_sfbni1=float(sfbni[1]),
         pre_smk0=smk0, pre_g0=g0, pre_sfbfb=float(pp.s_fb_fb),
         pre_vpbdcfb=float(v_pb_dc[FB]),
+        # c_fb's (g−g0) recentering needs the TRUE DC node voltage, not
+        # the predictor DC value (they differ by the SM correction):
+        # rhs[FB] dev = −gprev·d[FB] − (gprev−g0)·v_dc[FB]. Using
+        # v_pb_dc[FB] here shifted the twins' COMMON bias trajectory at
+        # g≠g0 — invisible in main−shadow output until a junction
+        # turn-on event (loud tremolo crest) exposed the bias error.
+        pre_vdcfb=float(v_dc[FB]),
         pre_pdc0=float(c0[B1] - c0[E1]), pre_pdc1=float(c0[C1] - c0[E2]),
         pre_idc0=float(i_dc[0]), pre_idc1=float(i_dc[1]), pre_q0=q0,
         pre_gcin=float(pp.g_cin), pre_ccin=float(pp.c_cin),
@@ -339,17 +353,33 @@ ARRAY_NAMES = ("pre_SA", "pre_cols", "pa_P", "pa_K", "pa_cols", "pa_nvcols",
 # ───────────────────────── state packing ─────────────────────────────────
 
 STATE_SPEC = (
-    ("pre_d", 16),        # twin node deviations [main 0:8 | shadow 8:16]
+    # Twin preamp state in (shadow, diff) basis: the shadow half carries
+    # the zero-input tremolo pump (±80 V node excursions under heavy LDR
+    # shunt), the diff half carries main − shadow — the SIGNAL, volts-
+    # scale. f32 rounding of the pump is common-mode between the twins
+    # and cancels exactly in the output (= diff[OUT]); storing (main,
+    # shadow) instead floored the output noise at eps·80 V ≈ 5e-6 V.
+    ("pre_d", 16),        # node deviations [shadow 0:8 | diff 8:16]
     ("pre_vnl", 4),       # [p0 main, p0 shadow, p1 main, p1 shadow] (abs)
-    ("pre_dic", 4),       # δ collector currents, same layout
-    ("pre_dj", 2),        # δ j_cin [main, shadow]
-    ("pre_dprev", 2),     # δ cin_rhs_prev
+    ("pre_dic", 4),       # collector currents [i0 sh−dc, i0 m−sh,
+                          #                     i1 sh−dc, i1 m−sh]
+    ("pre_dj", 2),        # δ j_cin [shadow, diff]
+    ("pre_dprev", 2),     # δ cin_rhs_prev [shadow, diff]
     ("pre_gldr", 1),      # previous-sample LDR conductance (absolute)
     ("trem_z", 7),
     ("trem_di", 4),
     ("trem_vnl", 4),      # [be0, be1, bc0, bc1] (abs)
     ("trem_env", 1),
     ("gldr_cur", 1),
+    # gldr staircase → line: the subsampled tremolo's update value
+    # corresponds to the f64 per-sample value at the END of its hold
+    # block, so interpolating from the previous update to the current
+    # one reproduces the per-sample trajectory causally. The staircase
+    # hold shifted junction turn-on events by up to 8 OS samples at the
+    # tremolo crest (−33 dB full-chain at loud drive); the interpolation
+    # restores −55 dB+.
+    ("gldr_upd_prev", 1),
+    ("trem_phase", 1),    # OS sub-samples elapsed in the current hold
     ("pa_z", 21),
     ("pa_di", 16),
     ("pa_vnl", 16),       # [be×8 | bc×8] (abs)
@@ -418,6 +448,7 @@ def init_state(base_sr: float, n_streams: int) -> np.ndarray:
     put("trem_di", tc[:4, 5])
     put("trem_vnl", tc[:4, 6])
     put("gldr_cur", [sc["pre_g0"]])
+    put("gldr_upd_prev", [sc["pre_g0"]])
     put("pa_vnl", c.arrays["pa_nvcols"][:, 5])
     put("pa_vnl_prev", c.arrays["pa_nvcols"][:, 5])
     put("pa_rails", [sc["pa_rail_bias"], sc["pa_rail_bias"], 0.0, 0.0])
@@ -635,17 +666,29 @@ def trem_update(c, sc, st):
     st["trem_di"] = di_new
     st["trem_vnl"] = vnl
     st["trem_env"] = env_new
+    st["gldr_upd_prev"] = st["gldr_cur"]
     st["gldr_cur"] = gldr
+    st["trem_phase"] = jnp.zeros_like(st["trem_phase"])
     return st
 
 
 def preamp_step(c, sc, st, u_main, gldr):
     """Twin DK preamp, one oversampled sample. u_main (1,S); shadow = 0.
-    Returns (st, out) with out = main − shadow (1,S)."""
+    Returns (st, out) with out = main − shadow (1,S).
+
+    State basis is (shadow, diff) — see STATE_SPEC. The shadow half
+    evolves exactly as before; the diff half evolves under the SAME
+    linear recurrence with the common large terms cancelled analytically
+    (the (g−g0)·v_dc and (smk−smk0)·v_dc corrections are twin-common, so
+    they drop out of the diff), keeping every diff quantity at signal
+    scale. The nonlinear solve still runs on absolute junction voltages
+    (volts-scale — f32-safe); main-twin inputs are reconstructed as
+    shadow + diff so their pump-scale rounding is common-mode."""
     B1, E1, C1, E2, C2, OUT, FB = (dkp.BASE1, dkp.EMIT1, dkp.COLL1,
                                    dkp.EMIT2, dkp.COLL2, dkp.OUT, dkp.FB)
     VT, IS, VMAX = dkp.VT, dkp.IS, dkp.VBE_MAX
     d = st["pre_d"]
+    d_sh, d_df = d[0:8], d[8:16]
     gprev = st["pre_gldr"]
     cols = c["pre_cols"]
     col_fb, col_b1 = _col(cols, 0), _col(cols, 1)
@@ -653,18 +696,16 @@ def preamp_step(c, sc, st, u_main, gldr):
 
     sad = jnp.dot(c["pre_SA"], d, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    halves = []
-    for t in range(2):  # 0 = main, 1 = shadow
-        dh = d[8 * t:8 * t + 8]
-        u = u_main if t == 0 else jnp.zeros_like(u_main)
-        c_fb = -(gprev * dh[FB:FB + 1] + (gprev - sc["pre_g0"])
-                 * sc["pre_vpbdcfb"])
-        c_b1 = (sc["pre_gcin"] * u + st["pre_dj"][t:t + 1]
-                + st["pre_dprev"][t:t + 1])
-        pb = (sad[8 * t:8 * t + 8] + col_fb * c_fb + col_b1 * c_b1
-              + col_e1c1 * st["pre_dic"][t:t + 1]
-              + col_e2c2 * st["pre_dic"][2 + t:3 + t])
-        halves.append((pb, u))
+    dj, dpv, dic = st["pre_dj"], st["pre_dprev"], st["pre_dic"]
+    c_fb_sh = -(gprev * d_sh[FB:FB + 1] + (gprev - sc["pre_g0"])
+                * sc["pre_vdcfb"])
+    c_b1_sh = dj[0:1] + dpv[0:1]
+    pb_sh = (sad[0:8] + col_fb * c_fb_sh + col_b1 * c_b1_sh
+             + col_e1c1 * dic[0:1] + col_e2c2 * dic[2:3])
+    c_fb_df = -gprev * d_df[FB:FB + 1]
+    c_b1_df = sc["pre_gcin"] * u_main + dj[1:2] + dpv[1:2]
+    pb_df = (sad[8:16] + col_fb * c_fb_df + col_b1 * c_b1_df
+             + col_e1c1 * dic[1:2] + col_e2c2 * dic[3:4])
 
     smk = gldr / (1.0 + sc["pre_sfbfb"] * gldr)
     kc00 = sc["pre_k00"] - smk * (sc["pre_nvsfb0"] * sc["pre_sfbni0"])
@@ -672,16 +713,16 @@ def preamp_step(c, sc, st, u_main, gldr):
     kc10 = sc["pre_k10"] - smk * (sc["pre_nvsfb1"] * sc["pre_sfbni0"])
     kc11 = sc["pre_k11"] - smk * (sc["pre_nvsfb1"] * sc["pre_sfbni1"])
 
-    preds, p0s, p1s = [], [], []
-    for pb, _u in halves:
-        tpart = smk * pb[FB:FB + 1] + (smk - sc["pre_smk0"]) \
-            * sc["pre_vpbdcfb"]
-        pred = pb - tpart * col_fb
-        preds.append(pred)
-        p0s.append(sc["pre_pdc0"] + pred[B1:B1 + 1] - pred[E1:E1 + 1])
-        p1s.append(sc["pre_pdc1"] + pred[C1:C1 + 1] - pred[E2:E2 + 1])
-    p0 = jnp.concatenate(p0s, axis=0)  # (2,S) [main, shadow]
-    p1 = jnp.concatenate(p1s, axis=0)
+    tpart_sh = smk * pb_sh[FB:FB + 1] + (smk - sc["pre_smk0"]) \
+        * sc["pre_vpbdcfb"]
+    pred_sh = pb_sh - tpart_sh * col_fb
+    pred_df = pb_df - (smk * pb_df[FB:FB + 1]) * col_fb
+    p0_sh = sc["pre_pdc0"] + pred_sh[B1:B1 + 1] - pred_sh[E1:E1 + 1]
+    p1_sh = sc["pre_pdc1"] + pred_sh[C1:C1 + 1] - pred_sh[E2:E2 + 1]
+    p0_df = pred_df[B1:B1 + 1] - pred_df[E1:E1 + 1]
+    p1_df = pred_df[C1:C1 + 1] - pred_df[E2:E2 + 1]
+    p0 = jnp.concatenate([p0_sh + p0_df, p0_sh], axis=0)  # [main, shadow]
+    p1 = jnp.concatenate([p1_sh + p1_df, p1_sh], axis=0)
 
     vnl0 = st["pre_vnl"][0:2]
     vnl1 = st["pre_vnl"][2:4]
@@ -705,33 +746,34 @@ def preamp_step(c, sc, st, u_main, gldr):
 
     ef0 = jnp.exp(jnp.clip(vnl0, -1.0, VMAX) * (1.0 / VT))
     ef1 = jnp.exp(jnp.clip(vnl1, -1.0, VMAX) * (1.0 / VT))
-    icn0 = IS * (ef0 - 1.0)
+    icn0 = IS * (ef0 - 1.0)   # (2,S) [main, shadow]
     icn1 = IS * (ef1 - 1.0)
 
-    d_new_halves, outs, djs, dprevs = [], [], [], []
-    for t in range(2):
-        pred, u = preds[t], halves[t][1]
-        i0 = icn0[t:t + 1]
-        i1 = icn1[t:t + 1]
-        q = smk * (sc["pre_sfbni0"] * i0 + sc["pre_sfbni1"] * i1) \
-            - sc["pre_q0"]
-        dn = (pred + col_e1c1 * (i0 - sc["pre_idc0"])
-              + col_e2c2 * (i1 - sc["pre_idc1"]) - q * col_fb)
-        d_new_halves.append(dn)
-        outs.append(dn[OUT:OUT + 1])
-        djs.append(sc["pre_gc1pc"] * (dn[B1:B1 + 1] - u)
-                   - sc["pre_ccin"] * st["pre_dj"][t:t + 1])
-        dprevs.append(sc["pre_gcin"] * u + st["pre_dj"][t:t + 1])
+    i0_sh, i1_sh = icn0[1:2], icn1[1:2]
+    di0 = icn0[0:1] - i0_sh   # main − shadow (signal scale)
+    di1 = icn1[0:1] - i1_sh
+    q_sh = smk * (sc["pre_sfbni0"] * i0_sh + sc["pre_sfbni1"] * i1_sh) \
+        - sc["pre_q0"]
+    dn_sh = (pred_sh + col_e1c1 * (i0_sh - sc["pre_idc0"])
+             + col_e2c2 * (i1_sh - sc["pre_idc1"]) - q_sh * col_fb)
+    q_df = smk * (sc["pre_sfbni0"] * di0 + sc["pre_sfbni1"] * di1)
+    dn_df = (pred_df + col_e1c1 * di0 + col_e2c2 * di1 - q_df * col_fb)
+
+    dj_sh = sc["pre_gc1pc"] * dn_sh[B1:B1 + 1] - sc["pre_ccin"] * dj[0:1]
+    dj_df = sc["pre_gc1pc"] * (dn_df[B1:B1 + 1] - u_main) \
+        - sc["pre_ccin"] * dj[1:2]
+    dprev_sh = dj[0:1]
+    dprev_df = sc["pre_gcin"] * u_main + dj[1:2]
 
     st = dict(st)
-    st["pre_d"] = jnp.concatenate(d_new_halves, axis=0)
+    st["pre_d"] = jnp.concatenate([dn_sh, dn_df], axis=0)
     st["pre_vnl"] = jnp.concatenate([vnl0, vnl1], axis=0)
     st["pre_dic"] = jnp.concatenate(
-        [icn0 - sc["pre_idc0"], icn1 - sc["pre_idc1"]], axis=0)
-    st["pre_dj"] = jnp.concatenate(djs, axis=0)
-    st["pre_dprev"] = jnp.concatenate(dprevs, axis=0)
+        [i0_sh - sc["pre_idc0"], di0, i1_sh - sc["pre_idc1"], di1], axis=0)
+    st["pre_dj"] = jnp.concatenate([dj_sh, dj_df], axis=0)
+    st["pre_dprev"] = jnp.concatenate([dprev_sh, dprev_df], axis=0)
     st["pre_gldr"] = gldr
-    return st, outs[0] - outs[1]
+    return st, dn_df[OUT:OUT + 1]
 
 
 def pa_step(c, sc, st, x, rail_sag):
@@ -893,9 +935,13 @@ def base_step(c, sc, st, x):
     else:
         e = o = x
 
-    gldr = st["gldr_cur"]
+    g_cur = st["gldr_cur"]
+    g_prev = st["gldr_upd_prev"]
+    ph = st["trem_phase"]
     ys = []
-    for u in (e, o):
+    for t_os, u in enumerate((e, o)):
+        frac = (ph + (t_os + 1.0)) * (1.0 / TREM_SUB_OS)
+        gldr = g_prev + frac * (g_cur - g_prev)
         if ENABLE_PRE:
             st, pre_out = preamp_step(c, sc, st, u, gldr)
         else:
@@ -906,6 +952,7 @@ def base_step(c, sc, st, x):
         else:
             y = pre_out
         ys.append(y)
+    st["trem_phase"] = ph + 2.0
     if ENABLE_OS:
         da, a = _allpass_step(sc["os_a"], st["os_da"], ys[0])
         db, b = _allpass_step(sc["os_b"], st["os_db"], ys[1])

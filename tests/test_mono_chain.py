@@ -46,9 +46,10 @@ def test_ge_solve_flat():
 def test_preamp_stage_parity():
     """f32 twin-preamp step vs dk_preamp.step over a tremolo-swept render.
 
-    −50 dB gate: under heavy LDR shunt the reference's own internal node
-    C1 swings to −72 V, so f32 deviation-state rounding floors near
-    5e-6 V absolute; at light shunt the stage parity is −80 dB+."""
+    −64 dB gate: the (shadow, diff) state basis keeps the tremolo pump's
+    ±80 V excursions common-mode between the twins, so the output floor
+    scales with signal, not with the pump (measured −66…−69 dB across
+    drive levels and the full shunt range)."""
     c, carr, sc, names = _kernel_env()
     t_len = 3000
     t = np.arange(t_len) / OS_SR
@@ -82,10 +83,53 @@ def test_preamp_stage_parity():
                            jnp.asarray(u)))
     err = (np.asarray(y32).ravel() - y64)[200:]
     db = _db(err, y64[200:])
-    assert db < -50.0, f"preamp stage parity {db:.1f} dB"
+    assert db < -64.0, f"preamp stage parity {db:.1f} dB"
 
 
-@pytest.mark.parametrize("amp,gate_db", [(0.05, -60.0), (0.2, -60.0)])
+def test_preamp_crest_turn_on_parity():
+    """Junction turn-on at the tremolo crest (max shunt R ≈ 34 kΩ): the
+    second BJT port crosses into conduction and the twins' COMMON bias
+    trajectory gates the event — the regression that caught the
+    v_pb_dc[FB]-vs-v_dc[FB] recentering bug (−2.4 dB before the fix)."""
+    c, carr, sc, names = _kernel_env()
+    t_len = 6000
+    t = np.arange(t_len) / OS_SR
+    u = (0.12 * (np.sin(2 * np.pi * 220 * t)
+                 + 0.5 * np.sin(2 * np.pi * 440 * t))).astype(np.float32)
+    # sweep across the crest plateau where the turn-on lives
+    r = 31000.0 + 3800.0 * np.sin(2 * np.pi * 5.5 * t)
+    gl = 1.0 / np.maximum(r, 1000)
+
+    pp = dkp.make_params(OS_SR)
+
+    def body64(st, xs):
+        g, x = xs
+        st, y = dkp.step(pp, st, g, x)
+        return st, y
+
+    _, y64 = jax.lax.scan(body64, dkp.init_state(pp),
+                          (jnp.asarray(gl), jnp.asarray(u, jnp.float64)))
+    y64 = np.asarray(y64)
+
+    flat = mc.init_state(BASE_SR, 1)
+    st0 = {k: jnp.asarray(v) for k, v in mc.unpack_state(flat).items()}
+
+    def body32(carry, xs):
+        st = dict(zip(names, carry))
+        g, x = xs
+        st, y = mc.preamp_step(carr, sc, st, x.reshape(1, 1),
+                               g.reshape(1, 1))
+        return tuple(st[n] for n in names), y.ravel()
+
+    _, y32 = jax.lax.scan(jax.jit(body32), tuple(st0[n] for n in names),
+                          (jnp.asarray(gl.astype(np.float32)),
+                           jnp.asarray(u)))
+    err = (np.asarray(y32).ravel() - y64)[400:]
+    db = _db(err, y64[400:])
+    assert db < -60.0, f"preamp crest turn-on parity {db:.1f} dB"
+
+
+@pytest.mark.parametrize("amp,gate_db", [(0.05, -70.0), (0.2, -70.0)])
 def test_power_amp_stage_parity(amp, gate_db):
     c, carr, sc, names = _kernel_env()
     t_len = 4000
@@ -164,21 +208,25 @@ def test_tremolo_subsampled_parity():
 
 
 @pytest.mark.slow
-def test_full_chain_parity():
+@pytest.mark.parametrize("lvl,rel_gate,abs_gate", [
+    (0.02, -40.0, -85.0),
+    (0.1, -36.0, -59.0),
+])
+def test_full_chain_parity(lvl, rel_gate, abs_gate):
     """render_cpu vs the f64 module chain in engine order.
 
-    The fast path's error is an ABSOLUTE noise floor (~1.5e-5 V at the
-    preamp output — f32 rounding of the solver's ±80 V internal
-    excursions under LDR shunt, see test_preamp_stage_parity), so the
-    gate is two-sided: relative −30 dB at this small drive level AND
-    absolute ≤ −70 dBFS against the engine's full-scale output of 1.0.
-    At note-level drive the relative parity is −50 dB and better."""
+    At note level (0.02) the chain tracks to −43 dB / −89 dBFS. At loud
+    drive (0.1) the output is hypersensitive to the tremolo trajectory:
+    the f64 reference against ITSELF with gldr perturbed by 0.1 % moves
+    −39 dB (junction turn-on at the tremolo crest is a bifurcation), and
+    the kernel's measured −40 dB sits AT that structural sensitivity
+    bound — the gate reflects the bound, not an f32 deficiency."""
     c, carr, sc, names = _kernel_env()
     t_len = 8192
     tt = np.arange(t_len) / BASE_SR
     env = np.minimum(np.arange(t_len) / 800.0, 1.0)
-    audio = (env * 0.02 * (np.sin(2 * np.pi * 220 * tt)
-                           + 0.5 * np.sin(2 * np.pi * 440 * tt))
+    audio = (env * lvl * (np.sin(2 * np.pi * 220 * tt)
+                          + 0.5 * np.sin(2 * np.pi * 440 * tt))
              ).astype(np.float32)
 
     y64 = _f64_chain(audio.astype(np.float64), depth=0.5, volume=0.5,
@@ -192,8 +240,8 @@ def test_full_chain_parity():
     err = (y32 - y64)[1000:]
     db = _db(err, y64[1000:])
     err_dbfs = 20.0 * np.log10(max(np.sqrt(np.mean(err**2)), 1e-30))
-    assert db < -28.0, f"full-chain relative parity {db:.1f} dB"
-    assert err_dbfs < -70.0, f"full-chain abs error {err_dbfs:.1f} dBFS"
+    assert db < rel_gate, f"full-chain relative parity {db:.1f} dB"
+    assert err_dbfs < abs_gate, f"full-chain abs error {err_dbfs:.1f} dBFS"
 
 
 def _f64_chain(audio, depth, volume, character):
