@@ -242,20 +242,29 @@ class Engine:
             noise_gain=jnp.asarray(float(gain), dtype=jnp.float64))
 
     BLOCK = 256
+    # Geometric dispatch ladder: long renders issue ONE device dispatch
+    # per 16k/2k chunk instead of one per 256 samples — on a tunneled
+    # device at ~27 ms/dispatch round-trip the old fixed-256 loop cost
+    # ~4.6 s of pure dispatch per rendered second. Each distinct chunk
+    # length compiles once; scan compile time is length-independent.
+    CHUNK_LADDER = (16384, 2048, 256)
 
     def render(self, num_samples: int):
         """Render num_samples mono float32 samples through the full chain.
 
-        Internally renders in fixed 256-sample blocks (one compiled scan
-        reused for any length) plus at most one remainder block.
+        Device-resident multi-block rendering: the sample loop is a
+        single lax.scan per chunk (CHUNK_LADDER sizes + one remainder),
+        so host↔device round-trips are O(seconds), not O(blocks).
         """
         chunks = []
-        full, rem = divmod(int(num_samples), self.BLOCK)
-        for _ in range(full):
-            self.state, out = self._render(self.state, self.BLOCK)
-            chunks.append(out)
-        if rem:
-            self.state, out = self._render(self.state, rem)
+        n = int(num_samples)
+        for size in self.CHUNK_LADDER:
+            while n >= size:
+                self.state, out = self._render(self.state, size)
+                chunks.append(out)
+                n -= size
+        if n:
+            self.state, out = self._render(self.state, n)
             chunks.append(out)
         if not chunks:
             return jnp.zeros(0, dtype=jnp.float32)

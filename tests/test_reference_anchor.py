@@ -15,10 +15,13 @@ Documented, bounded deviations (full analysis: docs/accuracy-anchoring.md):
     evolution in the reference itself (POST_SPEAKER_GAIN 22→17.5 dB and
     the accurate-preamp-gain retune, reference CHANGELOG); we gate the
     UNIFORMITY of the offset, which is what detects tonal drift.
-  * note 72's hf_band carries an odd-harmonic distortion tail ~6 dB above
-    the v0.5.1 capture (harmonics 13–23 of f0 at ≤ −80 dBFS, not
-    aliasing); its gate is widened to +8.5 dB with the root cause
-    documented.
+  * note 72's hf_band carries the behavioral power amp's crossover
+    residue (exact odd harmonics 11–17·f0, growing relative to H1 as the
+    note decays) ~7 dB above the v0.5.1 capture — root-caused by stage
+    bisection and drive/knee/DS falsification experiments in
+    docs/accuracy-anchoring.md §3; the reference-side delta is not
+    reproducible from the v0.6.0 source. Its reference gate stays at
+    +8.5 dB but a ±1.0 dB two-sided self-anchor closes the drift hole.
 """
 
 import json
@@ -33,7 +36,9 @@ REF_PATH = ("/root/reference/crates/openwurli-dsp/tests/baselines/"
 
 STEP_TOL_DB = 1.5          # reference alias_audit_regression.rs gate
 HF_TOL_DB = 2.0            # reference gate
-HF_TOL_NOTE72_DB = 8.5     # widened: documented odd-harmonic tail
+HF_TOL_NOTE72_DB = 8.5     # widened: behavioral-PA crossover residue
+                           # (root-caused, docs/accuracy-anchoring.md §3)
+NOTE72_HF_SELF_DB = -45.28  # our committed C5 value — two-sided ±1.0
 H1_UNIFORMITY_DB = 0.5     # the level offset must be flat across notes
 H1_OFFSET_MAX_DB = 4.5     # and bounded
 H2_TOL_DB = 1.5            # pickup-asymmetry anchor
@@ -63,6 +68,14 @@ def test_alias_metrics_vs_reference(sweep, reference):
         assert res.hf_band_dbc <= ref["hf_band_dbc"] + tol, (
             f"note {note} hf_band {res.hf_band_dbc:.2f} vs ref "
             f"{ref['hf_band_dbc']:.2f} (+{tol})")
+        if note == 72:
+            # Tight two-sided SELF-anchor inside the widened reference
+            # gate: the C5 band is behavioral-PA crossover residue
+            # (root-caused, docs/accuracy-anchoring.md §3) — a real
+            # tonal regression cannot hide inside the +8.5 dB bound.
+            assert abs(res.hf_band_dbc - NOTE72_HF_SELF_DB) < 1.0, (
+                f"note 72 hf_band {res.hf_band_dbc:.2f} drifted from "
+                f"the committed {NOTE72_HF_SELF_DB:.2f}")
 
 
 @pytest.mark.slow

@@ -21,6 +21,46 @@ def _fmt(v):
     return f"{v:.6g}"
 
 
+def _prefix_lines(lines, prefix):
+    """Namespace a deck's device lines so two subcircuits coexist.
+
+    Renames only true NODE tokens per device type (R/C/L/D/V/I/B: fields
+    1-2; Q: 1-3) and v(node) references inside behavioral expressions —
+    values, DC keywords, and model names are untouched. (The previous
+    positional rename corrupted R values and V-source 'DC' keywords.)
+    """
+    import re
+
+    node_counts = {"R": 2, "C": 2, "L": 2, "D": 2, "V": 2, "I": 2,
+                   "B": 2, "Q": 3}
+
+    def ren_expr(tok):
+        return re.sub(
+            r"v\((\w+)\)",
+            lambda m: ("v(0)" if m.group(1) == "0"
+                       else f"v({prefix}{m.group(1)})"), tok)
+
+    out = []
+    for line in lines:
+        parts = line.split()
+        if not parts or line.startswith(("*", ".", "+")):
+            out.append(line)
+            continue
+        dev = parts[0][0].upper()
+        if dev not in node_counts:
+            out.append(line)
+            continue
+        n = node_counts[dev]
+        new = [parts[0] + prefix.upper()]
+        for i, p in enumerate(parts[1:], start=1):
+            if i <= n and p != "0" and "(" not in p and "=" not in p:
+                new.append(prefix + p)
+            else:
+                new.append(ren_expr(p))
+        out.append(" ".join(new))
+    return out
+
+
 def netlist_to_cir(nl, title, tb_lines=()):
     names = {v: k for k, v in nl._nodes.items()}
 
@@ -275,17 +315,7 @@ def main():
     chain = [l for l in chain if l not in (".end",)]
     pa_lines = netlist_to_cir(nlpa, "chain-pa", []).splitlines()[2:]
     pa_lines = [l for l in pa_lines if l != ".end"]
-    renamed = []
-    for l in pa_lines:
-        parts = l.split()
-        if parts and parts[0][0] in "RCQDV" and not l.startswith((".",)):
-            parts = [parts[0] + "P"] + [
-                ("pa_" + p if p not in ("0",) and not any(
-                    c in p for c in "()=") and i in range(1, 4) else p)
-                for i, p in enumerate(parts)][1:]
-            renamed.append(" ".join([parts[0]] + parts[1:]))
-        else:
-            renamed.append(l)
+    renamed = _prefix_lines(pa_lines, "pa_")
     write("tb_full_chain.cir", "\n".join(
         chain
         + ["* drive: preamp out x 0.25 into the power amp input",
@@ -294,6 +324,219 @@ def main():
         + ["* expected: end-to-end ~14 dB (preamp, tremolo off) + 36.8 dB",
            "* (power amp) - 12 dB drive = system gain before speaker",
            "VIN in 0 SIN(0 1m 1k)", ".tran 5u 30m", ".end", ""]))
+
+    _write_extended_benches(write, netlist_to_cir, melange_preamp,
+                            power_amp, tremolo, dk_preamp, mna, gp,
+                            np, nlp_ac, nlpa, dc_expect, ac_gain,
+                            v_nl_dc, fb_idx, nlp)
+
+
+def _write_extended_benches(write, netlist_to_cir, melange_preamp,
+                            power_amp, tremolo, dk_preamp, mna, gp, np,
+                            nlp_ac, nlpa, dc_expect, ac_gain, v_nl_dc,
+                            fb_idx, nlp):
+    """Testbench families 13+ — parity with the reference's 30-deck suite
+    (/root/reference/spice/testbench/). Expected values cite BOTH our
+    solvers and the reference's own documented numbers (schematic
+    annotations, gate bands), so the oracle is not purely self-referential.
+    """
+    # 13. verify_dc_bias: schematic-annotation cross-check
+    nl_dc = melange_preamp.build_netlist()
+    nl_dc.r("fb", "0", melange_preamp.R_LDR_INIT)
+    v_dc, names = dc_expect(nl_dc)
+    ours = {n: v_dc[i] for i, n in enumerate(names)}
+    write("verify_dc_bias.cir", netlist_to_cir(
+        nl_dc, "Comprehensive DC bias verification vs schematic",
+        ["* Schematic #203720-S-3 annotations (reference "
+         "verify_dc_bias.cir:4-7):",
+         "*   TR-1: Vb=2.45 Ve=1.95 Vc=4.1  (Vbe=0.50, Vce=2.15)",
+         "*   TR-2: Vb=4.1  Ve=3.4  Vc=8.8  (Vbe=0.70, Vce=5.4)",
+         "* ours (dc_solve): "
+         + ", ".join(f"{n}={ours[n]:.3f}" for n in names
+                     if n in ("base1", "emit1", "coll1", "emit2",
+                              "coll2", "out", "fb")),
+         ".op"]))
+
+    # 14. DK validation: ideal-beta simplification at both LDR endpoints
+    for tag, r_ldr in (("1meg", 1e6), ("19k", 19e3)):
+        nl_i = melange_preamp.build_netlist()
+        nl_i.r("fb", "0", r_ldr)
+        v_dc, names = dc_expect(nl_i)
+        write(f"tb_dk_validation_{tag}.cir", netlist_to_cir(
+            nl_i, f"DK preamp validation (R_ldr={tag})",
+            ["* role of reference tb_dk_validation.cir: compare DC OP and",
+             "* AC gain against the 8-node DK solver at both R_ldr",
+             "* endpoints (no C20/D1/Rload simplification there; this",
+             "* deck keeps the full netlist — cross-solver gate 2 dB,",
+             "* dk_preamp/mod.rs:101-117)",
+             "* ours (dc_solve): "
+             + ", ".join(f"{n}={v_dc[i]:.3f}" for i, n in enumerate(names)
+                         if n in ("base1", "coll1", "coll2", "out", "fb")),
+             ".op"]))
+
+    # 15. DK AC extraction: |H| table for the analytic 8x8 comparison
+    freqs = [30.0, 100.0, 300.0, 1e3, 3e3, 10e3, 15.5e3, 30e3]
+    gains = ac_gain(nlp, v_nl_dc, freqs, "out",
+                    extra_g=[(fb_idx, 1.0 / 1e6)])
+    write("tb_dk_ac_extract.cir", netlist_to_cir(
+        nlp_ac, "DK AC extraction (R_ldr = 1 MEG)",
+        ["* expected |H| (GP linearisation at DC OP) — the DK test",
+         "* pyramid L4 builds the same curve from an independent",
+         "* complex 8x8 solve (tests/test_dk_preamp.py):"]
+        + [f"*   {f:8.0f} Hz: {20*np.log10(g):7.2f} dB"
+           for f, g in zip(freqs, gains)]
+        + ["* reference anchors: ~15 dB midband, -3 dB ~15.5 kHz,",
+           "* bandwidth ~independent of R_ldr (preamp-circuit.md:521)",
+           "VIN in 0 AC 1", ".ac dec 40 10 100k", ".print ac vdb(out)"]))
+
+    # 16. DC transfer sweep (clipping asymmetry)
+    write("tb_preamp_transfer.cir", netlist_to_cir(
+        nlp_ac, "Preamp DC transfer (input sweep)",
+        ["* expected: linear region slope ~= midband gain ("
+         f"{20*np.log10(ac_gain(nlp, v_nl_dc, [1e3], 'out', extra_g=[(fb_idx, 1e-6)])[0]):.1f} dB);",
+         "* asymmetric soft clip (single-ended stages -> H2-dominant)",
+         "VIN in 0 DC 0", ".dc VIN -0.5 0.5 0.005",
+         ".print dc v(out)"]))
+
+    # 17-19. clipping / harmonic family at three drive levels
+    for fname, amp_v, note in (
+            ("tb_preamp_clipping.cir", "50m",
+             "* expected: visible asymmetric clipping; H2 > H3"),
+            ("tb_preamp_harmonic.cir", "10m",
+             "* expected: THD ~0.79 % at chain-level drive (reference"
+             " dk_preamp/mod.rs:7)"),
+            ("tb_harmonic_audit.cir", "1m",
+             "* expected: small-signal THD ~0.0004-0.01 %"
+             " (preamp-circuit.md:846)")):
+        write(fname, netlist_to_cir(
+            nlp_ac, f"Preamp harmonic content at {amp_v} drive",
+            [note, f"VIN in 0 SIN(0 {amp_v} 1k)",
+             ".tran 5u 60m 40m 5u", ".fourier 1k v(out)"]))
+
+    # 20-22. transient family
+    write("tb_preamp_tran.cir", netlist_to_cir(
+        nlp_ac, "Preamp transient (burst response)",
+        ["* expected: no ringing; HF rolloff per the ~15.5 kHz bandwidth",
+         "VIN in 0 SIN(0 5m 1k)", ".tran 2u 20m", ".print tran v(out)"]))
+    write("tb_preamp_tran_analysis.cir", netlist_to_cir(
+        nlp_ac, "Preamp step response / time constants",
+        ["* expected: input HPF tau = Cin*(R1ish) — sub-ms edge, then",
+         "* slow Ce1 recovery; settles to DC OP (see tb_preamp_dc.cir)",
+         "VIN in 0 PULSE(0 10m 1m 1u 1u 8m 20m)", ".tran 2u 20m",
+         ".print tran v(out)"]))
+    write("preamp_transient.cir", netlist_to_cir(
+        nlp_ac, "Preamp startup settle",
+        ["* expected: output settles to the DC OP from zero initial",
+         "* conditions within ~0.5 s (engine warm_up = 0.6 s,",
+         "* engine.rs:261-270)",
+         "VIN in 0 DC 0", ".tran 1m 1 0 1m", ".print tran v(out)"]))
+
+    # 23. LDR transient sweep (transient analogue of the AC sweep)
+    write("preamp_ldr_sweep.cir", netlist_to_cir(
+        nlp, "Preamp output vs time-varying LDR (behavioral shunt)",
+        ["* fb shunt swept 1 MEG -> 9 k as a behavioral conductance;",
+         "* expected: gain rises as R_ldr falls; no clicks (the engine's",
+         "* LDR-sweep click gate, dk_preamp/mod.rs:125-172)",
+         "BLDR fb 0 I = v(fb)*(1u + 110u*(0.5+0.5*sin(6.2832*0.5*time)))",
+         "VIN in 0 SIN(0 2m 1k)", ".tran 0.1m 2", ".print tran v(out)"]))
+
+    # 24. R_ldr switching transient (pump step)
+    write("tb_rldr_transient.cir", netlist_to_cir(
+        nlp, "R_ldr step -> shadow-pump transient",
+        ["* fb shunt steps 1 MEG -> 19 k at t=50 ms (zero audio);",
+         "* expected: DC shift at out with pp pump ~0.2 V decaying with",
+         "* tau ~ Ce1*(R10+R_ldr) (cli pump-step measures the same)",
+         "BLDR fb 0 I = v(fb)*(1u + 51.6u*u(time-50m))",
+         "VIN in 0 DC 0", ".tran 0.2m 0.5", ".print tran v(out)"]))
+
+    # 25-27. pump detail family (node-level observations)
+    for fname, probe, note in (
+            ("tb_pump_c8_detail.cir", "v(emit1)",
+             "* expected: Ce1 (emitter bypass) node charges toward the"
+             " new OP; the pump's dominant time constant"),
+            ("tb_pump_emit.cir", "v(emit2a)",
+             "* expected: second-stage emitter follows with smaller"
+             " excursion"),
+            ("tb_pump_loaded.cir", "v(out)",
+             "* expected: loading the output (100k volume pot) does not"
+             " change the pump shape, only level")):
+        nl_l = melange_preamp.build_netlist()
+        extra = ["BLDR fb 0 I = v(fb)*(1u + 51.6u*u(time-50m))",
+                 "VIN in 0 DC 0"]
+        if fname == "tb_pump_loaded.cir":
+            nl_l.r("out", "0", 100e3)
+        write(fname, netlist_to_cir(
+            nl_l, f"Pump family: {probe}",
+            [note] + extra + [".tran 0.2m 0.5", f".print tran {probe}"]))
+
+    # 28. pot DC effect: two preamp instances, with/without load
+    base = netlist_to_cir(nlp_ac, "pot-effect", []).splitlines()
+    base = [l for l in base if l != ".end" and not l.startswith("*")]
+    inst_a = _prefix_lines(base, "a_")
+    inst_b = [l for l in _prefix_lines(base + ["RPOT out 0 100k"], "b_")
+              if not l.startswith(".model")]  # models shared with a_
+    write("tb_pump_pot_effect.cir", "\n".join(
+        ["* Volume-pot DC effect: instance a_ unloaded, b_ loaded 100k",
+         "* expected: internal DC bias unchanged by the pot (reference",
+         "* tb_pump_pot_effect.cir purpose line)"]
+        + inst_a + inst_b
+        + ["VINA a_in 0 DC 0", "VINB b_in 0 DC 0", ".op", ".end", ""]))
+
+    # 29. tremolo register: dark vs bright instance, depth vs frequency
+    dark = _prefix_lines(base, "d_")
+    brt = [l for l in _prefix_lines(base, "b_")
+           if not l.startswith(".model")]
+    write("tb_tremolo_register.cir", "\n".join(
+        ["* Tremolo modulation depth vs register: dark (R_ldr=1MEG) and",
+         "* bright (19k) instances driven at one frequency; sweep the",
+         "* source frequency 130/261/523/1046 Hz across runs.",
+         "* expected: depth = gain(bright)-gain(dark) ~4-8 dB, roughly",
+         "* CONSTANT across register (reference tb_tremolo_register.cir",
+         "* purpose; engine gate band dk_preamp/mod.rs:232-241)"]
+        + dark + brt
+        + ["RLDRD d_fb 0 1meg", "RLDRB b_fb 0 19k",
+           "VIND d_in 0 SIN(0 2m 523)", "VINB b_in 0 SIN(0 2m 523)",
+           ".tran 5u 40m 20m 5u", ".print tran v(d_out) v(b_out)",
+           ".end", ""]))
+
+    # 30. variable GBW: gain from base1 (bypasses input attenuation)
+    lines = ["* expected |v(out)/v(base1)| rises as R_ldr falls while the",
+             "* -3 dB corner stays ~15.5 kHz => GBW grows with gain",
+             "* (DK pyramid L4 asserts GBW ∝ gain; reference",
+             "* tb_variable_gbw.cir investigates the same)"]
+    for r in (1e6, 100e3, 19e3):
+        g1k = ac_gain(nlp, v_nl_dc, [1e3], "out",
+                      extra_g=[(fb_idx, 1.0 / r)])[0]
+        lines.append(f"*   R_ldr={r:9.0f}: 1 kHz gain "
+                     f"{20*np.log10(g1k):6.2f} dB")
+    write("tb_variable_gbw.cir", netlist_to_cir(
+        nlp_ac, "Variable gain-bandwidth diagnostic",
+        lines + ["VIN in 0 AC 1", ".ac dec 20 100 100k",
+                 ".print ac vdb(out) vdb(base1)"]))
+
+    # 31. power supply / rail sag (behavioral RailDynamics model)
+    write("tb_power_supply.cir", "\n".join([
+        "* Power supply rail sag under load (RailDynamics behavioral",
+        "* model, power_amp.rs:11-165 / circuits/power_amp.py)",
+        f"* expected: idle ±{power_amp.RAIL_V_OPEN} V open-circuit,",
+        f"* sagging toward ±22 V at full load through R_eff = "
+        f"{power_amp.RAIL_R_EFF} Ω;",
+        "* recovery tau ~30 ms (current envelope) + 8/15 ms asym rail",
+        "VT vp_open 0 DC " + _fmt(power_amp.RAIL_V_OPEN),
+        "RS vp_open vp " + _fmt(power_amp.RAIL_R_EFF),
+        "CF vp 0 4700u",
+        "* load step: 0 -> 2 A at t=100 ms",
+        "BLOAD vp 0 I = 2*u(time-100m)",
+        ".tran 1m 0.5", ".print tran v(vp)", ".end", ""]))
+
+    # 32. tremolo pump: oscillator-driven LDR against the preamp
+    write("tremolo_pump.cir", netlist_to_cir(
+        nlp, "Tremolo pump: 5.5 Hz LDR modulation, zero audio",
+        ["* fb shunt modulated at the Twin-T rate; expected: residual",
+         "* pump at out bounded (engine idle-pump gate); main-shadow",
+         "* subtraction in the DSP model cancels exactly this signal",
+         "BLDR fb 0 I = v(fb)*(26u + 25u*sin(6.2832*5.5*time))",
+         "VIN in 0 DC 0", ".tran 0.5m 1", ".print tran v(out)"]))
 
 
 if __name__ == "__main__":

@@ -105,8 +105,49 @@ def spectral_centroid(seg, sr):
     return float((spec * freqs).sum() / (spec.sum() + 1e-12))
 
 
-def aggregate_stats(audio, sr, notes, harmonics_mod):
+def _summ(vals):
+    v = np.asarray(vals, dtype=float)
+    return {"mean": round(float(v.mean()), 3),
+            "std": round(float(v.std()), 3),
+            "median": round(float(np.median(v)), 3), "n": len(v)}
+
+
+def windowed_h2h1(audio, sr, notes_mod, harmonics_mod,
+                  window_s=0.5, hop_s=0.25):
+    """No-extracted-notes fallback (reference aggregate_stats else-branch):
+    pitch-track 0.5 s windows, keep stable-pitch ones, aggregate H2/H1
+    by octave."""
+    win = int(window_s * sr)
+    hop = int(hop_s * sr)
+    by_octave = {}
+    for start in range(0, max(len(audio) - win, 0), hop):
+        seg = audio[start:start + win]
+        f0, midi_f = notes_mod.estimate_pitch(seg, sr)
+        if not np.isfinite(f0) or f0 <= 0:
+            continue
+        # stability: both halves must agree within 5 % (the reference
+        # skips unstable-pitch windows)
+        fa, _ = notes_mod.estimate_pitch(seg[:win // 2], sr)
+        fb, _ = notes_mod.estimate_pitch(seg[win // 2:], sr)
+        if not (np.isfinite(fa) and np.isfinite(fb)
+                and abs(fa - fb) < 0.05 * f0):
+            continue
+        midi = int(round(midi_f))
+        f = harmonics_mod.extract_note_features(seg, sr, f0, 0.0,
+                                                window_s)
+        w = np.asarray(f["windows"]["early_sustain"])
+        if len(w) >= 2 and np.isfinite(w[0]) and np.isfinite(w[1]):
+            by_octave.setdefault(midi // 12 - 1, []).append(
+                float(w[1] - w[0]))
+    return {str(k): _summ(v) for k, v in sorted(by_octave.items())}
+
+
+def aggregate_stats(audio, sr, notes, harmonics_mod, notes_mod=None):
     stats = {"tremolo": detect_tremolo(audio, sr)}
+    if not notes and notes_mod is not None:
+        stats["h2_h1_db_windowed"] = windowed_h2h1(
+            audio, sr, notes_mod, harmonics_mod)
+        return stats
     by_octave = {}
     velocities = {}
     for n in notes:
@@ -134,12 +175,12 @@ def aggregate_stats(audio, sr, notes, harmonics_mod):
             estimate_velocity(seg, sr))
 
     stats["by_octave"] = {
-        str(k): {m: {"median": round(float(np.median(v)), 2),
-                     "n": len(v)}
-                 for m, v in o.items() if v}
+        str(k): {m: _summ(v) for m, v in o.items() if v}
         for k, o in sorted(by_octave.items())}
-    stats["velocities"] = {k: round(float(np.median(v)), 2)
-                           for k, v in sorted(velocities.items())}
+    stats["velocities"] = {
+        k: {**_summ(v),
+            "range": [round(float(min(v)), 3), round(float(max(v)), 3)]}
+        for k, v in sorted(velocities.items())}
     return stats
 
 
@@ -177,13 +218,36 @@ def print_report(path, audio, sr, found, scored, stats):
               f"(confidence {trem['confidence']})")
     else:
         print("tremolo: none detected")
+    # note-distribution histogram (reference print_report)
+    from collections import Counter
+
+    counts = Counter(midi_to_name(n["midi_note"]) for n in scored)
+    if counts:
+        print("notes found (by pitch):")
+        for name, cnt in sorted(counts.items()):
+            print(f"  {name:>4s}: {'#' * min(cnt, 40)} ({cnt})")
+    # top 10 cleanest extractions
+    top = sorted(scored, key=lambda n: -n.get("isolation_score", 0))[:10]
+    if top:
+        print("top cleanest extractions:")
+        print(f"  {'note':>5s} {'iso':>6s} {'onset':>8s} {'dur':>6s}")
+        for n in top:
+            print(f"  {midi_to_name(n['midi_note']):>5s} "
+                  f"{n.get('isolation_score', 0):6.3f} "
+                  f"{n['onset_s']:8.2f} "
+                  f"{n['offset_s'] - n['onset_s']:6.2f}")
     for octv, o in stats.get("by_octave", {}).items():
-        parts = [f"{m} {v['median']}" for m, v in o.items()]
+        parts = [f"{m} {v['mean']}±{v['std']} (n={v['n']})"
+                 for m, v in o.items()]
         print(f"  octave {octv}: " + ", ".join(parts))
+    for octv, v in stats.get("h2_h1_db_windowed", {}).items():
+        print(f"  octave {octv} (windowed): H2/H1 {v['mean']}±{v['std']} dB"
+              f" (n={v['n']})")
     if stats.get("velocities"):
         vs = stats["velocities"]
+        meds = [v["median"] for v in vs.values()]
         print(f"velocity estimates: {len(vs)} notes, "
-              f"median {np.median(list(vs.values())):.2f}")
+              f"median {np.median(meds):.2f}")
 
 
 def main():
@@ -211,7 +275,8 @@ def main():
         scored = notes_mod.score_isolation(found, audio, sr)
         stats = {}
         if args.mode in ("stats", "full"):
-            stats = aggregate_stats(audio, sr, scored, harmonics)
+            stats = aggregate_stats(audio, sr, scored, harmonics,
+                                    notes_mod=notes_mod)
         if args.mode in ("extract", "full"):
             extract_to_dir(audio, sr, scored, args.output_dir, wav)
             print(f"extracted {len(scored)} notes → {args.output_dir}")

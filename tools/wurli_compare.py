@@ -23,6 +23,10 @@ def main():
     p.add_argument("recording")
     p.add_argument("--output", default="/tmp/wurli_compare.json")
     p.add_argument("--max-notes", type=int, default=12)
+    p.add_argument("--top-per-pitch", type=int, default=3,
+                   help="cap per MIDI pitch so one note can't dominate")
+    p.add_argument("--notes", default="",
+                   help="comma-separated MIDI numbers to compare only")
     p.add_argument("--model-seconds", type=float, default=2.0)
     args = p.parse_args()
 
@@ -44,7 +48,19 @@ def main():
     found = notes_mod.extract_notes(audio, sr)
     scored = notes_mod.score_isolation(found, audio, sr)
     scored.sort(key=lambda n: -n["isolation_score"])
-    selected = scored[: args.max_notes]
+    if args.notes:
+        want = {int(x) for x in args.notes.split(",")}
+        scored = [n for n in scored if n["midi_note"] in want]
+    # reference select_best_notes: at most top_per_pitch per MIDI note
+    per_pitch = {}
+    selected = []
+    for n in scored:
+        cnt = per_pitch.get(n["midi_note"], 0)
+        if cnt < args.top_per_pitch:
+            selected.append(n)
+            per_pitch[n["midi_note"]] = cnt + 1
+        if len(selected) >= args.max_notes:
+            break
     print(f"{len(found)} notes found, comparing best {len(selected)}")
 
     if not selected:
@@ -103,8 +119,15 @@ def main():
         cents = 1200.0 * np.log2(max(real["f0_hz"], 1e-9)
                                  / max(model["f0_hz"], 1e-9))
 
+        # harmonic distance: RMS of the relative-ladder deltas over
+        # H2-H8 (reference compare_note's harm_dist aggregate)
+        hd_vals = [d for d in h_delta[1:8] if d is not None]
+        harm_dist = (float(np.sqrt(np.mean(np.square(hd_vals))))
+                     if hd_vals else float("nan"))
+
         entry = {
             "midi": n["midi_note"],
+            "harmonic_distance_db": harm_dist,
             "tier": n["tier"],
             "f0_real": real["f0_hz"],
             "f0_model": model["f0_hz"],
@@ -143,8 +166,53 @@ def main():
                for e in report
                if np.isfinite(e["decay_real_db_s"])
                and np.isfinite(e["decay_model_db_s"])]
+    hds = [e["harmonic_distance_db"] for e in report
+           if np.isfinite(e["harmonic_distance_db"])]
+    if hds:
+        print("harmonic distance (RMS dB, H2-H8 vs real):")
+        print(f"  mean {np.mean(hds):6.1f}  median {np.median(hds):6.1f}"
+              f"  worst {max(hds):6.1f}  best {min(hds):6.1f}")
+
+    # per-octave breakdown (reference print_comparison_report)
+    by_oct = {}
+    for e in report:
+        o = by_oct.setdefault(e["midi"] // 12 - 1,
+                              {"hd": [], "dd": [], "cd": [], "n": 0})
+        o["n"] += 1
+        if np.isfinite(e["harmonic_distance_db"]):
+            o["hd"].append(e["harmonic_distance_db"])
+        if (np.isfinite(e["decay_real_db_s"])
+                and np.isfinite(e["decay_model_db_s"])):
+            o["dd"].append(e["decay_model_db_s"] - e["decay_real_db_s"])
+        if (np.isfinite(e["centroid_real_hz"])
+                and np.isfinite(e["centroid_model_hz"])):
+            o["cd"].append(e["centroid_model_hz"]
+                           - e["centroid_real_hz"])
+    print("per-octave breakdown:")
+    print(f"  {'oct':>4s} {'n':>3s} {'harmdist':>9s} {'decayD':>8s} "
+          f"{'centD':>8s}")
+    for o, d in sorted(by_oct.items()):
+        print(f"  {o:4d} {d['n']:3d} "
+              f"{np.mean(d['hd']) if d['hd'] else float('nan'):9.1f} "
+              f"{np.mean(d['dd']) if d['dd'] else float('nan'):+8.1f} "
+              f"{np.mean(d['cd']) if d['cd'] else float('nan'):+8.0f}")
+
     summary = {
         "n_notes": len(report),
+        "harmonic_distance_db": {
+            "mean": float(np.mean(hds)) if hds else float("nan"),
+            "median": float(np.median(hds)) if hds else float("nan"),
+            "worst": float(max(hds)) if hds else float("nan"),
+        },
+        "per_octave": {
+            str(o): {"n": d["n"],
+                     "harm_dist_db": (float(np.mean(d["hd"]))
+                                      if d["hd"] else None),
+                     "decay_delta_db_s": (float(np.mean(d["dd"]))
+                                          if d["dd"] else None),
+                     "centroid_delta_hz": (float(np.mean(d["cd"]))
+                                           if d["cd"] else None)}
+            for o, d in sorted(by_oct.items())},
         "median_abs_f0_cents": med("f0_cents_delta", absval=True),
         "median_abs_h2_delta_db": (float(np.median(np.abs(h2s)))
                                    if h2s else float("nan")),
