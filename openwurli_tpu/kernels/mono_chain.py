@@ -1090,16 +1090,24 @@ def _make_kernel(scalars, n_tiles, t_tile):
         # State lives in the scratch ref and is re-read/re-written by row
         # slices every iteration: Mosaic charges ~2-3 µs/iteration for
         # EACH array carried through a fori_loop, while ref slice traffic
-        # is nanoseconds — a 25-array state carry cost 26 µs/sample.
-        # State moves through per-component slice reads/writes on the
-        # scratch ref: a packed concatenate of ~38 mixed-height blocks
-        # per iteration cost 18 µs/sample by itself.
+        # is nanoseconds — a 25-array state carry cost 26 µs/sample; a
+        # packed concatenate of ~38 mixed-height blocks per iteration
+        # cost 18 µs/sample; and reading the WHOLE scratch once then
+        # value-slicing components cost +0.5 µs/sample over
+        # per-component reads (all measured). The audio path does skip
+        # WRITES of the tremolo-owned components — they only change
+        # inside the subsampled trem_update block.
         def read_state():
             return {name: state_scratch[a:b]
                     for name, (a, b) in _OFFSETS.items()}
 
-        def write_state(st):
+        _TREM_OWNED = ("trem_z", "trem_di", "trem_vnl", "trem_env",
+                       "gldr_cur", "gldr_upd_prev")
+
+        def write_state(st, skip=(), only=None):
             for name, (a, b) in _OFFSETS.items():
+                if name in skip or (only is not None and name not in only):
+                    continue
                 state_scratch[a:b] = st[name]
 
         def body(i, carry):
@@ -1112,13 +1120,14 @@ def _make_kernel(scalars, n_tiles, t_tile):
             if ENABLE_TREM:
                 @pl.when(jax.lax.rem(i, jnp.int32(SUB_BASE)) == 0)
                 def _trem():
-                    write_state(trem_update(c, sc, read_state()))
+                    write_state(trem_update(c, sc, read_state()),
+                                only=_TREM_OWNED + ("trem_phase",))
 
             st = read_state()
             x = audio_ref[pl.ds(i, 1), :]
             st, y = base_step(c, sc, st, x)
             out_ref[pl.ds(i, 1), :] = y
-            write_state(st)
+            write_state(st, skip=_TREM_OWNED)
             return carry
 
         jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile), body,
