@@ -70,6 +70,22 @@ PA_REFRESH_ITERS = tuple(range(N_PA_ITERS))
 N_PRE_ITERS = 3
 N_TREM_ITERS = 3
 PA_CONV_TOL = 1e-4   # NR mask: recentred-residual f32 noise floor is ~1e-5
+# Reduced-system NR: only these ports are pivoted in the Newton solve;
+# the rest ride along exactly via the block-LU identity M=[[A,0],[C,I]]
+# (their dv falls out of the forward-eliminated RHS for free). The
+# relegated set is the vbc ports whose junction conductances stay
+# negligible across the full drive range (reverse-biased collector
+# diodes of the diff pair Q7/Q8, driver Q9, and the output power
+# devices Q11/Q13, plus Q12's): measured worst-case convergence-factor
+# penalty rho(I - Jred^-1 J) = 0.076 over a 0.05-0.6-amp stress run,
+# and lab output parity vs the dense 16x16 solve is within 0.2 dB at
+# every amp and iteration budget (tools/pa_nr_lab.py --reduced).
+# vbc of the VAS (port 10) and of driver Q10 (port 12) are load-bearing
+# (relegating 12 diverges, rho ~1e3). GE data volume scales with the
+# pivot count: 10 pivots move ~49 % of the dense factorization's data.
+PA_ACTIVE = (0, 1, 2, 3, 4, 5, 6, 7, 10, 12)
+PA_RELEG = (8, 9, 11, 13, 14, 15)
+PA_REDUCED = True
 # Output-hold threshold [port V]. Transient crossover residuals of ~1e-2
 # still yield a nearly-correct output sample — holding the previous one
 # instead capped stage parity at −34 dB. Hold only on real junk; the
@@ -247,6 +263,11 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
     A["pa_gp"] = _gp_pack(
         [b[4] for b in nl_pa.bjts]).astype(f32)  # (8, N_PARAMS)
     A["eye16"] = np.eye(16, dtype=f32)
+    # Static row masks for the reduced-pivot GE (Pallas kernels cannot
+    # close over constants, so they ride in as (16, n_act) inputs).
+    elim_m, upper_m = _ge_masks(PA_ACTIVE, 16)
+    A["pa_elim_mask"] = np.concatenate(elim_m, axis=1).astype(f32)
+    A["pa_upper_mask"] = np.concatenate(upper_m, axis=1).astype(f32)
     S.update(
         pa_vdc_out=float(v_dc_pa[pa.out_idx]), pa_out_idx=int(pa.out_idx),
         pa_headroom=pamod.HEADROOM, pa_rail_bias=pamod.RAIL_DC_BIAS,
@@ -346,8 +367,8 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
 
 
 ARRAY_NAMES = ("pre_SA", "pre_cols", "pa_P", "pa_K", "pa_cols", "pa_nvcols",
-               "pa_gp", "eye16", "trem_P", "trem_K", "trem_cols", "trem_gp",
-               "eye4")
+               "pa_gp", "eye16", "pa_elim_mask", "pa_upper_mask", "trem_P",
+               "trem_K", "trem_cols", "trem_gp", "eye4")
 
 
 # ───────────────────────── state packing ─────────────────────────────────
@@ -576,6 +597,59 @@ def _ge_resolve(factors, rhs, m):
 
 def _ge_solve_flat(cols, rhs, m):
     return _ge_factor(cols, rhs, m)[0]
+
+
+def _ge_masks(order, n_rows):
+    """Static elimination/backsub row masks for an out-of-order pivot
+    sequence over an n_rows-tall system (non-pivoted rows ride along as
+    permanently-'below' rows — see PA_ACTIVE)."""
+    elim, upper = [], []
+    done = set()
+    for p in order:
+        done.add(p)
+        elim.append(np.array([[1.0 if r not in done else 0.0]
+                              for r in range(n_rows)], np.float32))
+        upper.append(np.array([[1.0 if r in done - {p} else 0.0]
+                               for r in range(n_rows)], np.float32))
+    return elim, upper
+
+
+def _ge_solve_ports(cols, rhs, order, releg, elim_mask, upper_mask):
+    """Per-stream solve of [[A,0],[C,I]] dv = rhs where only `order`'s
+    ports have real (full-height) columns and the `releg` ports'
+    columns are identity. cols = len(order) (n,S) columns IN PIVOT
+    ORDER. Exact block LU: forward-eliminate with pivots on the order'd
+    rows (relegated rows ride below for every pivot), backsubstitute
+    over the pivoted rows only; dv for relegated rows = the forward-
+    eliminated RHS rows (dv_r = f_r - C dv_a falls out for free).
+    Flat-array layout as _ge_factor. elim_mask/upper_mask are the
+    (n, n_act) _ge_masks constants (passed in: Pallas kernels cannot
+    close over array constants)."""
+    n = rhs.shape[0]
+    n_act = len(order)
+    s_lanes = rhs.shape[-1]
+    flat = jnp.concatenate(cols + [rhs], axis=1)
+    invs, u_cols = [], []
+    for k, p in enumerate(order):
+        pivcol = flat[:, 0:s_lanes]
+        piv = pivcol[p:p + 1, :]
+        inv = 1.0 / jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
+        invs.append(inv)
+        u_cols.append(pivcol)
+        below = _col(elim_mask, k) * pivcol * inv
+        rest = flat[:, s_lanes:]
+        flat = rest - _rep(below, n_act - k) * rest[p:p + 1, :]
+    acc = flat
+    xs = [None] * n
+    for k in range(n_act - 1, -1, -1):
+        p = order[k]
+        xk = acc[p:p + 1, :] * invs[k]
+        xs[p] = xk
+        if k:
+            acc = acc - _col(upper_mask, k) * u_cols[k] * xk
+    for r in releg:
+        xs[r] = acc[r:r + 1, :]
+    return jnp.concatenate(xs, axis=0)
 
 
 def _pnjlim(v_old, v_new, nvt, vcrit):
@@ -846,14 +920,21 @@ def pa_step(c, sc, st, x, rail_sag):
         if fn0 is None:
             fn0 = jnp.max(jnp.abs(f), axis=0, keepdims=True)
         if k_it in PA_REFRESH_ITERS or factors is None:
+            ports = PA_ACTIVE if PA_REDUCED else tuple(range(16))
             cols = []
-            for j in range(16):
+            for j in ports:
                 b = j % 8
                 g1 = (gbb if j < 8 else gbc)[b:b + 1, :]
                 g2 = (gcb if j < 8 else gcc)[b:b + 1, :]
                 cols.append(_col(c["eye16"], j)
                             - _col(K, b) * g1 - _col(K, b + 8) * g2)
-            dv_raw, factors = _ge_factor(cols, f, 16)
+            if PA_REDUCED:
+                dv_raw = _ge_solve_ports(cols, f, PA_ACTIVE, PA_RELEG,
+                                         c["pa_elim_mask"],
+                                         c["pa_upper_mask"])
+                factors = None
+            else:
+                dv_raw, factors = _ge_factor(cols, f, 16)
         else:
             dv_raw = _ge_resolve(factors, f, 16)
         dv = jnp.clip(dv_raw, -clamp, clamp)
