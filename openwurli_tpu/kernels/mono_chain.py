@@ -892,6 +892,8 @@ def pa_step(c, sc, st, x, rail_sag):
     vnl = ws
 
     def resid_from(v, i_):
+        # Mosaic supports only DEFAULT (bf16, catastrophic here) and
+        # HIGHEST dot precisions; HIGH raises NotImplementedError.
         return ((v - vnl_dc) - p_dev - corr0
                 - jnp.dot(K, i_ - i_dc,
                           preferred_element_type=jnp.float32,
@@ -1191,6 +1193,12 @@ def _make_kernel(scalars, n_tiles, t_tile):
                     continue
                 state_scratch[a:b] = st[name]
 
+        # Measured dead end: a 2x-unrolled sample pair (state slices
+        # amortised over two base_steps, tremolo update unconditional)
+        # saved only 0.67 us/sample at 128 streams but tripled the body
+        # Mosaic has to schedule — compile went 56 s -> 283 s. The
+        # slice-traffic share of the loop floor is already small after
+        # the write-skips; not worth the compile budget.
         def body(i, carry):
             if not ENABLE_STATE:  # profiling: pure audio copy loop
                 x = audio_ref[pl.ds(i, 1), :]

@@ -81,17 +81,19 @@ def _lcg(st):
 def _make_kernel(t_tile, steady, events, min_release):
     def _kernel(n0i_ref, n0f_ref, params_ref, state_in_ref, out_ref,
                 state_out_ref, s_ref, c_ref, env_ref, drift_ref,
-                nstate_ref, irng_ref, nf_ref):
+                nstate_ref, irng_ref, nf_ref, rota_ref, rotb_ref):
         return _kernel_body(t_tile, steady, events, min_release,
                             n0i_ref, n0f_ref, params_ref, state_in_ref,
                             out_ref, state_out_ref, s_ref, c_ref, env_ref,
-                            drift_ref, nstate_ref, irng_ref, nf_ref)
+                            drift_ref, nstate_ref, irng_ref, nf_ref,
+                            rota_ref, rotb_ref)
     return _kernel
 
 
 def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                  params_ref, state_in_ref, out_ref, state_out_ref, s_ref,
-                 c_ref, env_ref, drift_ref, nstate_ref, irng_ref, nf_ref):
+                 c_ref, env_ref, drift_ref, nstate_ref, irng_ref, nf_ref,
+                 rota_ref, rotb_ref):
     """One grid step renders t_tile samples for all lanes voices.
 
     steady: None, or (onset_done, noise_done) global sample counts after
@@ -105,6 +107,18 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
     damper block runs under a scalar pl.when past it)."""
     tile = pl.program_id(0)
     n_tiles = pl.num_programs(0)
+    # Renorm hoist: legal whenever a tile can contain at most one renorm
+    # point (the per-tile predicate below catches any alignment of the
+    # streaming start offset n0). Renorm is a |r|~1 drift correction, so
+    # its exact timing is free: the hoisted form applies it on the
+    # GLOBAL sample grid (not per-voice onset-relative), one slot
+    # earlier than the old in-loop form — identical between the events
+    # and plain paths (the trivial-schedule bit-exactness gate relies on
+    # that), ~1e-7 relative against the −60 dB parity gates.
+    tile_renorm = t_tile <= RENORM_INTERVAL
+    if events and not tile_renorm:
+        raise ValueError(
+            f"events path requires t_tile <= {RENORM_INTERVAL}")
 
     @pl.when(tile == 0)
     def _init():
@@ -144,10 +158,25 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
         onset_f = evt[EVT_ONSET_F:EVT_ONSET_F + 1, :]
         release_f = evt[EVT_RELEASE_F:EVT_RELEASE_F + 1, :]
         ramp_f = evt[EVT_RAMP:EVT_RAMP + 1, :]
-        onset_i = pltpu.bitcast(
-            evt[EVT_ONSET_I:EVT_ONSET_I + 1, :], jnp.int32)
+        # (EVT_ONSET_I retired from the hot path: renorm is now on the
+        # global tile grid, not per-voice onset-relative.)
         drate = params_ref[ROW_DRATE]
         dm1 = params_ref[ROW_DM1]
+
+    def _rot_ab(drift):
+        # Rotation coefficients (deviation form, see the body comment):
+        # constant between OU jitter updates (every JITTER_SUBSAMPLE
+        # samples), so they live in scratch and are refreshed only when
+        # drift changes — saves ~6 (8,V) ops per sample in the hot loop.
+        delta = drift * phase_inc
+        return (cosm1 - delta * sin_inc,
+                delta * (1.0 + cosm1) + sin_inc)
+
+    @pl.when(tile == 0)
+    def _init_rot():
+        a0, b0 = _rot_ab(drift_ref[:])
+        rota_ref[:] = a0
+        rotb_ref[:] = b0
 
     base_n = tile * t_tile
 
@@ -209,11 +238,13 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             else:
                 drift_ref[:] = new_drift
                 irng_ref[0:1, :] = pltpu.bitcast(st, jnp.int32)
+            a1, b1 = _rot_ab(drift_ref[:])
+            rota_ref[:] = a1
+            rotb_ref[:] = b1
 
         s = s_ref[:]
         c = c_ref[:]
         env = env_ref[:]
-        drift = drift_ref[:]
 
         if events:
             # 3-phase progressive damper (reed.rs:191-216): release
@@ -278,29 +309,33 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
         # b = sin + δ·(1 + (cos−1)),  s' = s + s·a + c·b,  c' = c + c·a − s·b
         # — the state update is (state + small), so f32 rounding enters as
         # an unbiased random walk (~−100 dB over 1 s) instead of a
-        # systematic phase/amplitude drift.
-        delta = drift * phase_inc
-        a = cosm1 - delta * sin_inc
-        b = sin_inc + delta * (1.0 + cosm1)
+        # systematic phase/amplitude drift. a/b come from the scratch
+        # cache (refreshed with drift every JITTER_SUBSAMPLE samples).
+        a = rota_ref[:]
+        b = rotb_ref[:]
         s_new = s + (s * a + c * b)
         c_new = c + (c * a - s * b)
 
         if events:
-            n_loc_i = n - onset_i            # (1, V) int32
-            do_renorm = jnp.logical_and(
-                (n_loc_i & (RENORM_INTERVAL - 1)) == 0, n_loc_i > 0)
+            # Pre-onset voices stay frozen at their note-on state.
+            s_ref[:] = jnp.where(active, s_new, s)
+            c_ref[:] = jnp.where(active, c_new, c)
+            env_ref[:] = jnp.where(active, env - env * decaym1, env)
+        elif tile_renorm:
+            # Renorm runs OUTSIDE the sample loop at tile boundaries
+            # (below), so the hot path pays zero renorm ops. (A scalar
+            # per-sample pl.when was measured SLOWER than the inline
+            # arithmetic it saved — Mosaic branches break the loop
+            # pipeline — while the per-tile hoist is free.)
+            s_ref[:] = s_new
+            c_ref[:] = c_new
+            env_ref[:] = env - env * decaym1
         else:
             do_renorm = jnp.logical_and((n & (RENORM_INTERVAL - 1)) == 0,
                                         n > 0)
-        r_sq = s_new * s_new + c_new * c_new
-        r_inv = jax.lax.rsqrt(jnp.maximum(r_sq, 1e-30))
-        scale = jnp.where(do_renorm, r_inv, 1.0)
-        if events:
-            # Pre-onset voices stay frozen at their note-on state.
-            s_ref[:] = jnp.where(active, s_new * scale, s)
-            c_ref[:] = jnp.where(active, c_new * scale, c)
-            env_ref[:] = jnp.where(active, env - env * decaym1, env)
-        else:
+            r_sq = s_new * s_new + c_new * c_new
+            r_inv = jax.lax.rsqrt(jnp.maximum(r_sq, 1e-30))
+            scale = jnp.where(do_renorm, r_inv, 1.0)
             s_ref[:] = s_new * scale
             c_ref[:] = c_new * scale
             env_ref[:] = env - env * decaym1
@@ -328,6 +363,26 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
     # index i64, and Mosaic's i64→i32 convert lowering recurses infinitely.
     nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile),
                                      body, nf_ref[0, 0])
+
+    if tile_renorm:
+        # Fire iff a renorm point (multiple of RENORM_INTERVAL) lies in
+        # the just-rendered tile (n_start, n_end] — robust to any n0.
+        n_end = n0i_ref[0] + base_n + jnp.int32(t_tile)
+
+        @pl.when((n_end & (RENORM_INTERVAL - 1)) < jnp.int32(t_tile))
+        def _renorm_tile():
+            s2 = s_ref[:]
+            c2 = c_ref[:]
+            r_inv = jax.lax.rsqrt(jnp.maximum(s2 * s2 + c2 * c2, 1e-30))
+            if events:
+                # Pre-onset voices must stay bit-frozen at their
+                # note-on state (active as of the tile's last sample).
+                act = (nf_ref[0, 0] - 1.0) >= onset_f
+                s_ref[:] = jnp.where(act, s2 * r_inv, s2)
+                c_ref[:] = jnp.where(act, c2 * r_inv, c2)
+            else:
+                s_ref[:] = s2 * r_inv
+                c_ref[:] = c2 * r_inv
 
     @pl.when(tile == n_tiles - 1)
     def _fin():
@@ -463,6 +518,8 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise + pickup q
             pltpu.VMEM((SUBLANES, lanes), jnp.int32),    # LCG states
             pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation a cache
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation b cache
         ],
     )
     out, state_out = pl.pallas_call(
