@@ -56,10 +56,15 @@ def _run_fused(streams, sr, reps):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         mc.pack_consts(sr)
-        notes = np.tile(np.arange(36, 36 + n_voices, dtype=np.float64),
-                        streams)
+        # Voice-major lane order (lane = voice*streams + stream): the
+        # per-stream sum then reduces over a NON-minor axis, which XLA
+        # lowers without a layout copy of the (T, V) voices array — the
+        # stream-major order forced a full-size HLO temp copy that OOMed
+        # HBM at 1024 streams (2 x 10.75 GB).
+        notes = np.repeat(np.arange(36, 36 + n_voices, dtype=np.float64),
+                          streams)
         vels = np.clip(
-            0.95 + 0.0005 * np.repeat(np.arange(streams), n_voices), 0, 1)
+            0.95 + 0.0005 * np.tile(np.arange(streams), n_voices), 0, 1)
         params, _ = vb.make_kernel_params(notes, vels, sr,
                                           lanes=n_voices * streams)
         ctrl = mc.make_controls(sr, streams, volume=0.5, depth=0.5,
@@ -70,17 +75,40 @@ def _run_fused(streams, sr, reps):
     ctrl = jnp.asarray(ctrl)
     state = jnp.asarray(state)
 
-    sum_voices = jax.jit(
-        lambda v: v.reshape(v.shape[0], streams, n_voices).sum(-1),
-        static_argnums=())
+    # Voice renders go chunk-by-chunk (<= 8192 lanes, the voice kernel's
+    # own VMEM chunk size), each chunk summed into the (T, streams)
+    # audio straight away, so the full (T, V) voices array is NEVER
+    # materialized in HBM (10.75 GB + a concat/copy target at 1024
+    # streams — OOM). The per-chunk sum is slice-adds over lane-aligned
+    # minor-dim blocks (streams % 128 == 0): reshape-based reductions
+    # force a full-size tiled-layout copy.
+    lanes = n_voices * streams
+    chunk = min(8192, lanes)
+    nv_chunk = chunk // streams
+
+    @jax.jit
+    def _sum_chunk(v):
+        acc = v[:, 0:streams]
+        for m in range(1, nv_chunk):
+            acc = acc + v[:, m * streams:(m + 1) * streams]
+        return acc
     checksum = jax.jit(lambda y, s: jnp.sum(y) + jnp.sum(jnp.abs(s)))
 
     steady = vb.steady_limits(params)
 
+    # The mono-chain kernel's default 1024-sample tile overflows VMEM at
+    # >=1024 streams (4 MB audio-in + 4 MB out tiles); 256 compiles and
+    # measures within noise of 1024 at lower widths.
+    mc_tile = 256 if streams >= 1024 else mc.T_TILE
+
     def block(state):
-        voices = vb.render_voice_bank(params, t_blk, steady=steady)
-        audio = sum_voices(voices)
-        out, state = mc.render_tpu(sr, ctrl, state, audio)
+        audio = None
+        for i0 in range(0, lanes, chunk):
+            v = vb.render_voice_bank(params[..., i0:i0 + chunk], t_blk,
+                                     steady=steady, events=False)
+            part = _sum_chunk(v)
+            audio = part if audio is None else audio + part
+        out, state = mc.render_tpu(sr, ctrl, state, audio, t_tile=mc_tile)
         return out, state
 
     # Warm-up: compile + settle the chain ~0.6 s before the timed window.
@@ -127,7 +155,7 @@ def main():
     if "BENCH_STREAMS" in os.environ:
         ladder = [int(os.environ["BENCH_STREAMS"])]
     else:
-        ladder = [128, 256, 512]
+        ladder = [128, 256, 512, 1024]
 
     best = None
     last_err = None

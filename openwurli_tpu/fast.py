@@ -76,7 +76,7 @@ def render_grid(midis, velocities, seconds, sample_rate=44100.0,
                                  interpret=interpret, t_tile=t_tile)
 
     voices = vb.render_voice_bank(
-        params, t_pad, interpret=interpret,
+        params, t_pad, interpret=interpret, events=False,
         steady=vb.steady_limits(params))[:, :s * v]
     audio = voices.reshape(t_pad, s, v).sum(-1)
     out, _state = mc.render_tpu(sr, ctrl, state, audio,
@@ -172,10 +172,15 @@ def render_events(midis, velocities, onsets, releases, seconds,
         state = mc.init_state(sr, 1)
         vstate = vb.init_bank_state(params)
 
+    # Schedule facts are resolved ONCE host-side; the per-block kernel
+    # calls must not re-read params off the device (tunnel transfers).
+    params_np = np.asarray(params)
+    events = vb._has_events(params_np)
+    min_rel = vb._min_release(params_np) if events else vb.NEVER
     params = jnp.asarray(params)
     ctrl = jnp.asarray(ctrl)
     state = jnp.asarray(state)
-    steady = vb.steady_limits(params)
+    steady = vb.steady_limits(params_np)
 
     if warm_seconds > 0.0:
         t_warm = -(-int(warm_seconds * sr) // t_tile) * t_tile
@@ -187,7 +192,8 @@ def render_events(midis, velocities, onsets, releases, seconds,
     for b in range(n_blocks):
         voices, vstate = vb.render_voice_bank(
             params, t_blk, interpret=interpret, steady=steady,
-            state=vstate, n0=b * t_blk, return_state=True)
+            state=vstate, n0=b * t_blk, return_state=True,
+            events=events, min_release=min_rel)
         audio = voices.sum(-1, keepdims=True)
         out, state = mc.render_tpu(sr, ctrl, state, audio,
                                    interpret=interpret, t_tile=t_tile)
@@ -273,7 +279,7 @@ def render_grid_sharded(mesh, midis, velocities, seconds,
             silence = jnp.zeros((t_warm, s_local), jnp.float32)
             _, state_l = mc.render_tpu(sr, ctrl_d.T, state_l, silence,
                                        interpret=interpret, t_tile=t_tile)
-        voices = vb.render_voice_bank(params_d[0], t_pad,
+        voices = vb.render_voice_bank(params_d[0], t_pad, events=False,
                                       interpret=interpret, steady=steady)
         audio = voices[:, :s_local * v].reshape(t_pad, s_local, v).sum(-1)
         out, st = mc.render_tpu(sr, ctrl_d.T, state_l, audio,

@@ -394,18 +394,34 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
         state_out_ref[_I0:_I0 + 8] = pltpu.bitcast(irng_ref[:], jnp.float32)
 
 
-def init_bank_state(params) -> np.ndarray:
-    """Fresh note-on state for a packed params array → (STATE_ROWS, V)."""
-    p = np.asarray(params)
+def init_bank_state(params):
+    """Fresh note-on state for a packed params array → (STATE_ROWS, V).
+
+    Accepts numpy or jax arrays, including tracers (the sharded fast path
+    builds its per-device state inside shard_map)."""
+    p = params
     lanes = p.shape[-1]
-    st = np.zeros((STATE_ROWS, lanes), dtype=np.float32)
-    st[_C0:_C0 + NUM_MODES] = 1.0                     # c = 1 (modes only)
-    st[_E0:_E0 + 8] = 1.0                             # env = 1
-    st[_D0:_D0 + 8] = p[ROW_DRIFT0]                   # OU drift init
-    st[_N0 + 0] = p[ROW_NOISE][0]                     # noise amplitude
-    st[_N0 + 5] = 1.0                                 # pickup q
-    st[_I0:_I0 + 8] = p[ROW_RNG0]                     # LCG seeds (bitcast)
-    return st
+    if isinstance(p, np.ndarray):
+        st = np.zeros((STATE_ROWS, lanes), dtype=np.float32)
+        st[_C0:_C0 + NUM_MODES] = 1.0                 # c = 1 (modes only)
+        st[_E0:_E0 + 8] = 1.0                         # env = 1
+        st[_D0:_D0 + 8] = p[ROW_DRIFT0]               # OU drift init
+        st[_N0 + 0] = p[ROW_NOISE][0]                 # noise amplitude
+        st[_N0 + 5] = 1.0                             # pickup q
+        st[_I0:_I0 + 8] = p[ROW_RNG0]                 # LCG seeds (bitcast)
+        return st
+    z8 = jnp.zeros((SUBLANES, lanes), jnp.float32)
+    one = jnp.ones((1, lanes), jnp.float32)
+    zero = jnp.zeros((1, lanes), jnp.float32)
+    c0 = jnp.concatenate(
+        [jnp.ones((NUM_MODES, lanes), jnp.float32),
+         jnp.zeros((SUBLANES - NUM_MODES, lanes), jnp.float32)], axis=0)
+    nst = jnp.concatenate(
+        [p[ROW_NOISE, 0:1], zero, zero, zero, zero, one, zero, zero],
+        axis=0)
+    return jnp.concatenate(
+        [z8, c0, jnp.ones((SUBLANES, lanes), jnp.float32),
+         p[ROW_DRIFT0], nst, p[ROW_RNG0]], axis=0)
 
 
 def steady_limits(params):
@@ -420,22 +436,25 @@ def steady_limits(params):
 
 
 def _has_events(params) -> bool:
-    p = np.asarray(params)
-    if p.shape[0] <= ROW_EVT:
+    # Slice BEFORE np.asarray: params may live on a (tunneled) device and
+    # converting the whole array is a multi-MB device→host transfer per
+    # call — only the two schedule rows are needed.
+    if params.shape[0] <= ROW_EVT:
         return False
-    evt = p[ROW_EVT]
+    evt = np.asarray(params[ROW_EVT, :2])
     return bool((evt[EVT_ONSET_F] > 0).any()
                 or (evt[EVT_RELEASE_F] < NEVER).any())
 
 
 def _min_release(params) -> float:
-    rel = np.asarray(params)[ROW_EVT][EVT_RELEASE_F]
+    rel = np.asarray(params[ROW_EVT, EVT_RELEASE_F])
     return float(rel.min()) if rel.size else NEVER
 
 
 def render_voice_bank(params, num_samples: int, interpret: bool = False,
                       steady=None, state=None, n0: int = 0,
-                      events=None, return_state: bool = False):
+                      events=None, return_state: bool = False,
+                      min_release=None):
     """Render V voices × num_samples through the fused kernel.
 
     params: (N_ROWS, 8, V) f32 with V a multiple of 128 (see
@@ -446,8 +465,11 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
     state/n0: carry state across block-streamed calls (state from a
     previous call's return_state=True, n0 = global start sample, a
     multiple of 16). events: force the event path on/off (default: auto
-    from the params schedule). Returns (num_samples, V) f32 post-pickup
-    voice outputs, or (out, state') when return_state.
+    from the params schedule); min_release: earliest possible release
+    sample (default: auto). Pass BOTH explicitly in hot loops when
+    params lives on-device — the auto-detect reads schedule rows back to
+    the host, a per-call transfer. Returns (num_samples, V) f32
+    post-pickup voice outputs, or (out, state') when return_state.
 
     Runs under an x32 config context: jax_enable_x64 (on globally for the
     circuit solvers) crashes the Mosaic TPU backend's layout inference
@@ -455,7 +477,12 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
     """
     if events is None:
         events = _has_events(params)
-    min_rel = _min_release(np.asarray(params)) if events else NEVER
+    if not events:
+        min_rel = NEVER
+    elif min_release is None:
+        min_rel = _min_release(params)
+    else:
+        min_rel = float(min_release)
     assert n0 % JITTER_SUBSAMPLE == 0, n0
     with jax.enable_x64(False):
         lanes = params.shape[-1]
