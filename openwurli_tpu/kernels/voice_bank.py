@@ -81,19 +81,20 @@ def _lcg(st):
 def _make_kernel(t_tile, steady, events, min_release):
     def _kernel(n0i_ref, n0f_ref, params_ref, state_in_ref, out_ref,
                 state_out_ref, s_ref, c_ref, env_ref, drift_ref,
-                nstate_ref, irng_ref, nf_ref, rota_ref, rotb_ref):
+                nstate_ref, irng_ref, nf_ref, rota_ref, rotb_ref,
+                stage_ref):
         return _kernel_body(t_tile, steady, events, min_release,
                             n0i_ref, n0f_ref, params_ref, state_in_ref,
                             out_ref, state_out_ref, s_ref, c_ref, env_ref,
                             drift_ref, nstate_ref, irng_ref, nf_ref,
-                            rota_ref, rotb_ref)
+                            rota_ref, rotb_ref, stage_ref)
     return _kernel
 
 
 def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                  params_ref, state_in_ref, out_ref, state_out_ref, s_ref,
                  c_ref, env_ref, drift_ref, nstate_ref, irng_ref, nf_ref,
-                 rota_ref, rotb_ref):
+                 rota_ref, rotb_ref, stage_ref):
     """One grid step renders t_tile samples for all lanes voices.
 
     steady: None, or (onset_done, noise_done) global sample counts after
@@ -116,9 +117,10 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
     # and plain paths (the trivial-schedule bit-exactness gate relies on
     # that), ~1e-7 relative against the −60 dB parity gates.
     tile_renorm = t_tile <= RENORM_INTERVAL
-    if events and not tile_renorm:
+    if not tile_renorm:
         raise ValueError(
-            f"events path requires t_tile <= {RENORM_INTERVAL}")
+            f"t_tile must be <= {RENORM_INTERVAL}: the quadrature renorm "
+            "is hoisted to tile boundaries")
 
     @pl.when(tile == 0)
     def _init():
@@ -180,39 +182,37 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
 
     base_n = tile * t_tile
 
+    # Time loop structure: UNROLL consecutive samples per fori iteration.
+    # The reed recurrence (rotation/env/noise) runs per sub-step, but the
+    # pickup — tanh soft-sat, the charge-update divide, and the output
+    # store, the most expensive per-sample block — is BATCHED over the
+    # group: its elementwise math runs once on (UNROLL, V) instead of
+    # UNROLL times on (1, V) (a (1, V) op costs the same vreg count as an
+    # (8, V) op — 1/8 of the VPU does the work), and the output store
+    # writes full (8, 128) vregs instead of sublane-masked single rows.
+    # Only the 2-op/step linear charge recurrence stays serial. Jitter
+    # can only fire at sub-step 0: n ≡ gi·8 (mod 16) since n0 and t_tile
+    # are multiples of 16, so its scalar predicate is hoisted per group.
+    UNROLL = 8
+    assert t_tile % JITTER_SUBSAMPLE == 0, t_tile
+
+    knee = jnp.float32(pickup_mod.PICKUP_KNEE_Y)
+    rng_sat = jnp.float32(pickup_mod.PICKUP_MAX_Y
+                          - pickup_mod.PICKUP_KNEE_Y)
+    sens = jnp.float32(pickup_mod.PICKUP_SENSITIVITY)
+    twob = 2.0 * beta
+
     # Mosaic's scalar int→float convert lowering recurses in this jax
     # version, so the sample index is ALSO carried as an f32 running
     # counter (exact to 2^24 samples ≈ 380 s) in SMEM across tiles; the
-    # int `n` serves the bitwise subsample/renorm tests only.
-    def body(i, n_f):
-        n = n0i_ref[0] + base_n + i
+    # int `n_g` serves the bitwise jitter-subsample test only.
+    def group(gi, n_f0):
+        n_g = n0i_ref[0] + base_n + gi * jnp.int32(UNROLL)
 
         if events:
-            n_loc = n_f - onset_f            # (1, V), <0 before onset
-            active = n_loc >= 0.0
-        else:
-            n_loc = n_f
-            active = None
+            active0 = (n_f0 - onset_f) >= 0.0
 
-        def compute_onset():
-            cosine = 0.5 * (1.0 - jnp.cos(n_loc * onset_inc))
-            shaped = jnp.where(
-                onset_exp <= 1.001, cosine,
-                jnp.where(onset_exp >= 1.999, cosine * cosine,
-                          jnp.power(jnp.maximum(cosine, 1e-30),
-                                    onset_exp)))
-            return jnp.where(n_loc < onset_samps, shaped, 1.0)
-
-        if steady is None:
-            onset = compute_onset()
-        else:
-            @pl.when(n_f < jnp.float32(steady[0]))
-            def _onset():
-                nstate_ref[3:4, :] = compute_onset()
-
-            onset = nstate_ref[3:4, :]
-
-        @pl.when((n & (JITTER_SUBSAMPLE - 1)) == 0)
+        @pl.when((n_g & (JITTER_SUBSAMPLE - 1)) == 0)
         def _jitter():
             st = pltpu.bitcast(irng_ref[0:1, :], jnp.uint32)
             drift = drift_ref[:]
@@ -232,9 +232,9 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             if events:
                 # Pre-onset voices' LCG streams must not advance: the
                 # stream starts at note-on in the reference.
-                drift_ref[:] = jnp.where(active, new_drift, drift)
+                drift_ref[:] = jnp.where(active0, new_drift, drift)
                 irng_ref[0:1, :] = jnp.where(
-                    active, pltpu.bitcast(st, jnp.int32), irng_ref[0:1, :])
+                    active0, pltpu.bitcast(st, jnp.int32), irng_ref[0:1, :])
             else:
                 drift_ref[:] = new_drift
                 irng_ref[0:1, :] = pltpu.bitcast(st, jnp.int32)
@@ -242,127 +242,168 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             rota_ref[:] = a1
             rotb_ref[:] = b1
 
-        s = s_ref[:]
-        c = c_ref[:]
-        env = env_ref[:]
-
-        if events:
-            # 3-phase progressive damper (reed.rs:191-216): release
-            # count t starts at 1 on the release sample; exponential
-            # ramp-in of the damping rate over ramp_f samples, then the
-            # constant per-mode multiplier (stored as 1−mult deviation).
-            @pl.when(n_f >= jnp.float32(min_release))
-            def _damper():
-                t_rel = n_f - release_f + 1.0
-                damp_on = t_rel >= 1.0
-                in_ramp = jnp.logical_and(damp_on, t_rel <= ramp_f)
-                post = jnp.logical_and(damp_on, t_rel > ramp_f)
-                inst = drate * (t_rel / jnp.maximum(ramp_f, 1.0))
-                env0 = env_ref[:]
-                env1 = jnp.where(in_ramp, env0 * jnp.exp(-inst), env0)
-                env_ref[:] = jnp.where(post, env1 - env1 * dm1, env1)
-
-            env = env_ref[:]
-
-        contrib = amplitude * s * onset * env
-        mono = jnp.sum(contrib, axis=0, keepdims=True)  # (1, V)
-
-        # Attack noise: LCG → bandpass biquad (DF-II-T) → amp env, while
-        # local sample index < duration; raised-cosine 16-sample fade-in.
-        def compute_noise():
-            nst = pltpu.bitcast(irng_ref[1:2, :], jnp.uint32)
-            nst = _lcg(nst)
-            white = nst.astype(jnp.int32).astype(jnp.float32) \
-                * jnp.float32(1.0 / 2147483647.0)
-            nact = n_loc < noise_dur
-            if events:
-                nact = jnp.logical_and(nact, active)
-                irng_ref[1:2, :] = jnp.where(
-                    active, pltpu.bitcast(nst, jnp.int32), irng_ref[1:2, :])
-            else:
-                irng_ref[1:2, :] = pltpu.bitcast(nst, jnp.int32)
-            namp = nstate_ref[0:1, :]
-            z1 = nstate_ref[1:2, :]
-            z2 = nstate_ref[2:3, :]
-            filtered = nb0 * white + z1
-            z1_new = -na1 * filtered + z2  # b1 = 0 for this bandpass
-            z2_new = nb2 * white - na2 * filtered
-            fade_t = jnp.minimum(n_loc / NOISE_FADE_IN, 1.0)
-            fade = 0.5 * (1.0 - jnp.cos(jnp.float32(np.pi) * fade_t))
-            fade = jnp.where(n_loc < NOISE_FADE_IN, fade, 1.0)
-            noise_out = jnp.where(nact, namp * fade * filtered, 0.0)
-            nstate_ref[0:1, :] = jnp.where(nact, namp * noise_decay, namp)
-            nstate_ref[1:2, :] = jnp.where(nact, z1_new, z1)
-            nstate_ref[2:3, :] = jnp.where(nact, z2_new, z2)
-            return noise_out
-
-        if steady is None:
-            mono = mono + compute_noise()
-        else:
-            @pl.when(n_f < jnp.float32(steady[1]))
-            def _noise():
-                nstate_ref[4:5, :] = compute_noise()
-
-            mono = mono + nstate_ref[4:5, :]
-
-        # Rotation via deviation form: with a = (cos−1) − δ·sin and
-        # b = sin + δ·(1 + (cos−1)),  s' = s + s·a + c·b,  c' = c + c·a − s·b
-        # — the state update is (state + small), so f32 rounding enters as
-        # an unbiased random walk (~−100 dB over 1 s) instead of a
-        # systematic phase/amplitude drift. a/b come from the scratch
-        # cache (refreshed with drift every JITTER_SUBSAMPLE samples).
+        # Rotation coefficients are constant within the group (jitter
+        # only fires at sub-step 0, above).
         a = rota_ref[:]
         b = rotb_ref[:]
-        s_new = s + (s * a + c * b)
-        c_new = c + (c * a - s * b)
 
-        if events:
-            # Pre-onset voices stay frozen at their note-on state.
-            s_ref[:] = jnp.where(active, s_new, s)
-            c_ref[:] = jnp.where(active, c_new, c)
-            env_ref[:] = jnp.where(active, env - env * decaym1, env)
-        elif tile_renorm:
-            # Renorm runs OUTSIDE the sample loop at tile boundaries
-            # (below), so the hot path pays zero renorm ops. (A scalar
-            # per-sample pl.when was measured SLOWER than the inline
-            # arithmetic it saved — Mosaic branches break the loop
-            # pipeline — while the per-tile hoist is free.)
-            s_ref[:] = s_new
-            c_ref[:] = c_new
-            env_ref[:] = env - env * decaym1
-        else:
-            do_renorm = jnp.logical_and((n & (RENORM_INTERVAL - 1)) == 0,
-                                        n > 0)
-            r_sq = s_new * s_new + c_new * c_new
-            r_inv = jax.lax.rsqrt(jnp.maximum(r_sq, 1e-30))
-            scale = jnp.where(do_renorm, r_inv, 1.0)
-            s_ref[:] = s_new * scale
-            c_ref[:] = c_new * scale
-            env_ref[:] = env - env * decaym1
+        if not events:
+            # s/c/env ride in registers across the group — one VMEM
+            # load/store per group instead of per sample. The events
+            # path keeps per-step ref round-trips: the damper pl.when
+            # mutates env_ref mid-group.
+            s = s_ref[:]
+            c = c_ref[:]
+            env = env_ref[:]
 
-        # Pickup: bilinear charge update with C1 soft saturation
-        y_raw = mono * ds
+        for j in range(UNROLL):
+            n_f = n_f0 + jnp.float32(j)
+            if events:
+                n_loc = n_f - onset_f            # (1, V), <0 before onset
+                active = n_loc >= 0.0
+            else:
+                n_loc = n_f
+                active = None
+
+            def compute_onset(n_loc=n_loc):
+                cosine = 0.5 * (1.0 - jnp.cos(n_loc * onset_inc))
+                shaped = jnp.where(
+                    onset_exp <= 1.001, cosine,
+                    jnp.where(onset_exp >= 1.999, cosine * cosine,
+                              jnp.power(jnp.maximum(cosine, 1e-30),
+                                        onset_exp)))
+                return jnp.where(n_loc < onset_samps, shaped, 1.0)
+
+            if steady is None:
+                onset = compute_onset()
+            else:
+                @pl.when(n_f < jnp.float32(steady[0]))
+                def _onset(compute_onset=compute_onset):
+                    nstate_ref[3:4, :] = compute_onset()
+
+                onset = nstate_ref[3:4, :]
+
+            if events:
+                s = s_ref[:]
+                c = c_ref[:]
+
+                # 3-phase progressive damper (reed.rs:191-216): release
+                # count t starts at 1 on the release sample; exponential
+                # ramp-in of the damping rate over ramp_f samples, then
+                # the constant per-mode multiplier (1−mult deviation).
+                @pl.when(n_f >= jnp.float32(min_release))
+                def _damper(n_f=n_f):
+                    t_rel = n_f - release_f + 1.0
+                    damp_on = t_rel >= 1.0
+                    in_ramp = jnp.logical_and(damp_on, t_rel <= ramp_f)
+                    post = jnp.logical_and(damp_on, t_rel > ramp_f)
+                    inst = drate * (t_rel / jnp.maximum(ramp_f, 1.0))
+                    env0 = env_ref[:]
+                    env1 = jnp.where(in_ramp, env0 * jnp.exp(-inst), env0)
+                    env_ref[:] = jnp.where(post, env1 - env1 * dm1, env1)
+
+                env = env_ref[:]
+
+            contrib = amplitude * s * onset * env
+            mono = jnp.sum(contrib, axis=0, keepdims=True)  # (1, V)
+
+            # Attack noise: LCG → bandpass biquad (DF-II-T) → amp env,
+            # while local index < duration; raised-cosine 16-sample fade.
+            def compute_noise(n_loc=n_loc, active=active):
+                nst = pltpu.bitcast(irng_ref[1:2, :], jnp.uint32)
+                nst = _lcg(nst)
+                white = nst.astype(jnp.int32).astype(jnp.float32) \
+                    * jnp.float32(1.0 / 2147483647.0)
+                nact = n_loc < noise_dur
+                if events:
+                    nact = jnp.logical_and(nact, active)
+                    irng_ref[1:2, :] = jnp.where(
+                        active, pltpu.bitcast(nst, jnp.int32),
+                        irng_ref[1:2, :])
+                else:
+                    irng_ref[1:2, :] = pltpu.bitcast(nst, jnp.int32)
+                namp = nstate_ref[0:1, :]
+                z1 = nstate_ref[1:2, :]
+                z2 = nstate_ref[2:3, :]
+                filtered = nb0 * white + z1
+                z1_new = -na1 * filtered + z2  # b1 = 0 for this bandpass
+                z2_new = nb2 * white - na2 * filtered
+                fade_t = jnp.minimum(n_loc / NOISE_FADE_IN, 1.0)
+                fade = 0.5 * (1.0 - jnp.cos(jnp.float32(np.pi) * fade_t))
+                fade = jnp.where(n_loc < NOISE_FADE_IN, fade, 1.0)
+                noise_out = jnp.where(nact, namp * fade * filtered, 0.0)
+                nstate_ref[0:1, :] = jnp.where(nact, namp * noise_decay,
+                                               namp)
+                nstate_ref[1:2, :] = jnp.where(nact, z1_new, z1)
+                nstate_ref[2:3, :] = jnp.where(nact, z2_new, z2)
+                return noise_out
+
+            if steady is None:
+                mono = mono + compute_noise()
+            else:
+                @pl.when(n_f < jnp.float32(steady[1]))
+                def _noise(compute_noise=compute_noise):
+                    nstate_ref[4:5, :] = compute_noise()
+
+                mono = mono + nstate_ref[4:5, :]
+
+            # Stage the group's mono rows in scratch (static sublane-row
+            # stores) — a Python list + concat keeps all 8 values live on
+            # the Mosaic stack at once and blows the 16 MB VMEM budget.
+            stage_ref[j:j + 1, :] = mono
+
+            # Rotation via deviation form: with a = (cos−1) − δ·sin and
+            # b = sin + δ·(1 + (cos−1)), s' = s + s·a + c·b,
+            # c' = c + c·a − s·b — the state update is (state + small),
+            # so f32 rounding enters as an unbiased random walk (~−100 dB
+            # over 1 s) instead of a systematic phase/amplitude drift.
+            s_new = s + (s * a + c * b)
+            c_new = c + (c * a - s * b)
+
+            if events:
+                # Pre-onset voices stay frozen at their note-on state.
+                s_ref[:] = jnp.where(active, s_new, s)
+                c_ref[:] = jnp.where(active, c_new, c)
+                env_ref[:] = jnp.where(active, env - env * decaym1, env)
+            else:
+                # Renorm runs OUTSIDE the sample loop at tile boundaries
+                # (below), so the hot path pays zero renorm ops. (A
+                # scalar per-sample pl.when was measured SLOWER than the
+                # inline arithmetic it saved — Mosaic branches break the
+                # loop pipeline — while the per-tile hoist is free.)
+                s, c = s_new, c_new
+                env = env - env * decaym1
+
+        if not events:
+            s_ref[:] = s
+            c_ref[:] = c
+            env_ref[:] = env
+
+        # Batched pickup: bilinear charge update with C1 soft saturation,
+        # elementwise math once on the whole (UNROLL, V) group.
+        mono8 = stage_ref[:]
+        y_raw = mono8 * ds
         abs_y = jnp.abs(y_raw)
-        knee = jnp.float32(pickup_mod.PICKUP_KNEE_Y)
-        rng_sat = jnp.float32(pickup_mod.PICKUP_MAX_Y
-                              - pickup_mod.PICKUP_KNEE_Y)
         sat = knee + rng_sat * jnp.tanh((abs_y - knee) / rng_sat)
-        y = jnp.where(abs_y < knee, y_raw, jnp.where(y_raw >= 0, sat, -sat))
+        y = jnp.where(abs_y < knee, y_raw,
+                      jnp.where(y_raw >= 0, sat, -sat))
         omy = 1.0 - y
         alpha = beta * omy
+        pn = 1.0 - alpha
+        r = 1.0 / (1.0 + alpha)
         q = nstate_ref[5:6, :]
-        q_next = (q * (1.0 - alpha) + 2.0 * beta) / (1.0 + alpha)
-        nstate_ref[5:6, :] = q_next
-        out = (q_next * omy - 1.0) * jnp.float32(
-            pickup_mod.PICKUP_SENSITIVITY) * post_gain
-
-        out_ref[i, :] = out[0, :]
-        return n_f + 1.0
+        for j in range(UNROLL):
+            q = (q * pn[j:j + 1, :] + twob) * r[j:j + 1, :]
+            stage_ref[j:j + 1, :] = q  # mono8 already consumed: reuse
+        nstate_ref[5:6, :] = q
+        out8 = (stage_ref[:] * omy - 1.0) * sens * post_gain
+        out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = out8
+        return n_f0 + jnp.float32(UNROLL)
 
     # i32 bounds: under jax_enable_x64 python-int bounds make the loop
     # index i64, and Mosaic's i64→i32 convert lowering recurses infinitely.
-    nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile),
-                                     body, nf_ref[0, 0])
+    nf_ref[0, 0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(t_tile // 8),
+                                     group, nf_ref[0, 0])
 
     if tile_renorm:
         # Fire iff a renorm point (multiple of RENORM_INTERVAL) lies in
@@ -488,7 +529,10 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
         lanes = params.shape[-1]
         if state is None:
             state = init_bank_state(params)
-        if lanes <= 8192:
+        # Events path carries more live temporaries (damper + per-step
+        # masks) — cap its per-kernel width at 4096 lanes for VMEM.
+        max_lanes = 4096 if events else 8192
+        if lanes <= max_lanes:
             out, st = _render_voice_bank_jit(
                 jnp.asarray(params), jnp.asarray(state),
                 jnp.asarray([n0], jnp.int32),
@@ -497,12 +541,12 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
                 float(min_rel))
             return (out, st) if return_state else out
         # Wider banks exceed VMEM (params are pipeline-double-buffered):
-        # render in 8192-lane chunks and stitch.
+        # render in max_lanes chunks and stitch.
         outs, sts = [], []
-        for i in range(0, lanes, 8192):
+        for i in range(0, lanes, max_lanes):
             o, s = _render_voice_bank_jit(
-                jnp.asarray(params[..., i:i + 8192]),
-                jnp.asarray(state[..., i:i + 8192]),
+                jnp.asarray(params[..., i:i + max_lanes]),
+                jnp.asarray(state[..., i:i + max_lanes]),
                 jnp.asarray([n0], jnp.int32),
                 jnp.asarray([n0], jnp.float32),
                 num_samples, interpret, steady, bool(events),
@@ -520,9 +564,11 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
                            interpret: bool, steady, events: bool,
                            min_release: float):
     lanes = params.shape[-1]
-    # Output tile ≤ ~1 MB so params + scratch + double-buffered output
-    # stay inside the 16 MB VMEM budget at wide lane counts.
-    t_tile = max(32, min(T_TILE, (1 << 20) // (lanes * 4) // 32 * 32))
+    # Output tile ≤ ~1 MB (768 KB at the widest lane count — the batched
+    # pickup's (8, V) temporaries need the headroom) so params + scratch
+    # + double-buffered output stay inside the 16 MB VMEM budget.
+    budget = (3 << 18) if lanes >= 8192 else (1 << 20)
+    t_tile = max(16, min(T_TILE, budget // (lanes * 4) // 16 * 16))
     n_tiles = (num_samples + t_tile - 1) // t_tile
     total = n_tiles * t_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -547,6 +593,7 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
             pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation a cache
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation b cache
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # pickup group stage
         ],
     )
     out, state_out = pl.pallas_call(
