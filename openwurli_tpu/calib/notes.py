@@ -86,12 +86,24 @@ def estimate_pitch(audio, sr, fmin=50.0, fmax=2200.0):
     return float(best_f), float(midi)
 
 
-def extract_notes(audio, sr, min_duration=0.25):
+def extract_notes(audio, sr, min_duration=0.25, method="auto"):
     """Segment a recording into note observations.
+
+    method: "auto" uses the trained onset/pitch network
+    (calib.onset_model, the reference's basic-pitch role) when its
+    weights are installed, falling back to the spectral-flux/harmonic-sum
+    path here; "nn" / "spectral" force one.
 
     Returns a list of dicts: onset_s, offset_s, midi_note, f0_hz,
     velocity_norm (peak-based proxy).
     """
+    if method in ("auto", "nn"):
+        from openwurli_tpu.calib import onset_model
+
+        found = onset_model.nn_extract_notes(audio, sr,
+                                             min_duration=min_duration)
+        if found or method == "nn":
+            return found
     audio = np.asarray(audio, dtype=np.float64)
     if audio.ndim > 1:
         audio = audio.mean(axis=1)

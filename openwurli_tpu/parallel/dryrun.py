@@ -128,6 +128,35 @@ def main(n_devices: int) -> None:
           f"sharded-vs-single |dloss|={err_loss:.1e} |dW|max={err_w:.1e} "
           f"replicated-on={n_shards} devices — OK")
 
+    # ── phase 2: the PRODUCTION kernels under shard_map ──────────────────
+    # The training-step gate above rides the f64 scan path; this runs the
+    # fused Pallas voice-bank + mono-chain kernels (interpret mode on the
+    # virtual mesh) sharded over streams and gates sharded == unsharded.
+    from openwurli_tpu import fast
+
+    midis = np.linspace(40.0, 88.0, n_devices)[:, None]   # 1 note/stream
+    t_kernel = 64
+    out_sh = np.asarray(fast.render_grid_sharded(
+        mesh, midis, 0.8, t_kernel / 44100.0, interpret=True, t_tile=32))
+    out_1 = np.asarray(fast.render_grid(
+        midis, 0.8, t_kernel / 44100.0, interpret=True, t_tile=32))
+    assert out_sh.shape == out_1.shape == (t_kernel, n_devices)
+    assert np.isfinite(out_sh).all()
+    assert len(np.unique(out_sh[-1, :])) == n_devices, \
+        "streams collapsed across shards"
+    # Tolerance, not bit equality: XLA lowers the chain's flat GE arrays
+    # differently for S_local=1 vs S=8 (vectorization/FMA contraction is
+    # shape-dependent), and the chain amplifies low-order-bit deltas
+    # (see tests/test_mono_chain.py full-chain gate notes). A sharding
+    # BUG (garbled lanes / wrong collective) is O(1), not O(1e-4).
+    err_k = float(np.abs(out_sh - out_1).max())
+    ref = float(np.abs(out_1).max())
+    assert err_k <= max(5e-2 * ref, 1e-6), (
+        f"sharded kernel deviates: {err_k:.3e} (signal {ref:.3e})")
+    print(f"dryrun_multichip({n_devices}) phase 2: fused kernels sharded "
+          f"over {n_devices} devices, |sharded-unsharded|max={err_k:.1e}"
+          " — OK")
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

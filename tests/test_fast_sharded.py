@@ -25,6 +25,29 @@ def test_render_grid_sharded_virtual_mesh():
     assert len(np.unique(out[-1, :])) == 8
 
 
+def test_render_grid_sharded_tile_crossing():
+    """Sharded ≈ unsharded across multiple kernel tiles incl. a partial
+    final tile (t=160, t_tile=64 → 3 tiles), 2 voices per stream — the
+    state-carry across tile boundaries must survive shard_map.
+
+    Tolerance, not bit equality: XLA lowers the chain's flat GE arrays
+    differently for S_local=1 vs S=8 (shape-dependent vectorization /
+    FMA contraction) and the chain amplifies low-order-bit deltas; a
+    sharding BUG (garbled lanes, wrong collective) is O(1)."""
+    mesh = meshlib.make_mesh(jax.devices("cpu")[:8])
+    rng = np.random.default_rng(3)
+    midis = rng.uniform(40.0, 90.0, size=(8, 2))
+    t = 160
+    out_sh = np.asarray(fast.render_grid_sharded(
+        mesh, midis, 0.7, t / 44100.0, interpret=True, t_tile=64))
+    out_1 = np.asarray(fast.render_grid(
+        midis, 0.7, t / 44100.0, interpret=True, t_tile=64))
+    assert out_sh.shape == out_1.shape == (t, 8)
+    assert np.isfinite(out_sh).all()
+    ref = np.abs(out_1).max()
+    assert np.abs(out_sh - out_1).max() <= max(5e-2 * ref, 1e-6)
+
+
 def test_render_grid_matches_composed_pipeline():
     """fast.render_grid == voice bank + sum + mono chain composed by
     hand (same kernels, interpret mode, tiny shapes)."""

@@ -1,0 +1,214 @@
+#!/usr/bin/env python3
+"""Train the onset/pitch note-extraction model on self-rendered audio.
+
+The reference's ML stage 1 leans on the pretrained basic-pitch network
+(reference ml/extract_notes.py:1-10). This trains our replacement
+(openwurli_tpu/calib/onset_model.py) from scratch on mixtures synthesized
+from this repo's OWN fast-path renders — single notes across the keyboard
+and velocity range, placed at random onsets with random gains, polyphony
+and noise — so the detector is specialized to the instrument it will
+transcribe.
+
+Usage:
+    python tools/train_onset_model.py                    # TPU render + train
+    python tools/train_onset_model.py --interpret --clips 20 --steps 200
+    python tools/train_onset_model.py --out /tmp/op.npz
+
+Writes openwurli_tpu/data/onset_pitch.npz and prints held-out metrics.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def render_note_pool(sr, seconds, interpret, vels=(0.4, 0.7, 1.0),
+                     midi_step=1):
+    """Render every (midi 36-96 × velocity) single note through the full
+    fast-path chain → dict[(midi, vel)] = (T,) float32."""
+    from openwurli_tpu import fast
+    from openwurli_tpu.calib.onset_model import MIDI_HI, MIDI_LO
+
+    midis = np.arange(MIDI_LO, MIDI_HI + 1, midi_step, dtype=np.float64)
+    pool = {}
+    for vel in vels:
+        grid = midis[:, None]                    # (S, 1): one note/stream
+        out = fast.render_grid(grid, float(vel), seconds, sr,
+                               volume=0.5, depth=0.4, character=0.0,
+                               interpret=interpret)
+        out = np.asarray(out)
+        for i, m in enumerate(midis):
+            pool[(int(m), vel)] = out[:, i].astype(np.float32)
+        print(f"  rendered {len(midis)} notes at velocity {vel}")
+    return pool
+
+
+def synth_mixtures(pool, sr, n_clips, clip_seconds, seed):
+    """Random mixtures + labels: list of (audio, [(onset_s, midi), ...])."""
+    rng = np.random.default_rng(seed)
+    keys = list(pool.keys())
+    t_len = int(clip_seconds * sr)
+    clips = []
+    for _ in range(n_clips):
+        audio = np.zeros(t_len, dtype=np.float64)
+        k = int(rng.integers(1, 5))
+        events = []
+        for _ in range(k):
+            midi, vel = keys[rng.integers(len(keys))]
+            onset_s = float(rng.uniform(0.1, clip_seconds - 0.6))
+            gain = 10.0 ** (rng.uniform(-12.0, 0.0) / 20.0)
+            i0 = int(onset_s * sr)
+            seg = pool[(midi, vel)]
+            n = min(len(seg), t_len - i0)
+            audio[i0:i0 + n] += gain * seg[:n]
+            events.append((onset_s, midi))
+        noise_db = rng.uniform(-70.0, -40.0)
+        audio += rng.normal(0.0, 10.0 ** (noise_db / 20.0), t_len)
+        if rng.random() < 0.3:   # mains hum
+            hum_db = rng.uniform(-70.0, -50.0)
+            audio += (10.0 ** (hum_db / 20.0)
+                      * np.sin(2 * np.pi * 50.0 * np.arange(t_len) / sr))
+        events.sort()
+        clips.append((audio.astype(np.float32), events))
+    return clips
+
+
+def label_clip(audio, events, sr):
+    """(frames X, y_onset, y_pitch) for one mixture (−1 = unsupervised)."""
+    from openwurli_tpu.calib import onset_model as om
+
+    feats = om.features(audio, sr)
+    xs = om.context_windows(feats)
+    n = len(feats)
+    _, hop = om.frame_params(sr)
+    hop_s = hop / sr
+    y_on = np.zeros(n, dtype=np.float32)
+    y_p = np.full(n, -1, dtype=np.int64)
+    onset_frames = []
+    for onset_s, midi in events:
+        f = int(round(onset_s / hop_s))
+        onset_frames.append((f, midi))
+        for df in (0, 1):
+            if 0 <= f + df < n:
+                y_on[f + df] = 1.0
+    # pitch supervision: [onset, onset+0.5 s] clipped at the next onset —
+    # the most recent note owns the frame (the decoder reads post-onset)
+    span = int(round(0.5 / hop_s))
+    bounds = [f for f, _ in onset_frames] + [n]
+    for k, (f, midi) in enumerate(onset_frames):
+        hi = min(f + span, bounds[k + 1], n)
+        y_p[f:hi] = midi - om.MIDI_LO
+    # silence before the first onset → "none" class
+    first = bounds[0] if onset_frames else n
+    y_p[:max(first - 2, 0)] = om.N_PITCH - 1
+    return xs, y_on, y_p
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sr", type=float, default=16000.0)
+    ap.add_argument("--seconds", type=float, default=1.5,
+                    help="single-note render length")
+    ap.add_argument("--clip-seconds", type=float, default=3.0)
+    ap.add_argument("--clips", type=int, default=400)
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke mode (Pallas interpreter)")
+    ap.add_argument("--pool-npz", default="",
+                    help="cache the rendered note pool here")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+        if plats and "cpu" not in plats.split(","):
+            jax.config.update("jax_platforms", plats + ",cpu")
+
+    from openwurli_tpu.calib import onset_model as om
+
+    if args.pool_npz and os.path.exists(args.pool_npz):
+        import ast
+
+        with np.load(args.pool_npz) as z:
+            pool = {tuple(ast.literal_eval(k)): z[k] for k in z.files}
+        print(f"loaded pool: {len(pool)} notes")
+    else:
+        print("rendering note pool (fast path)...")
+        pool = render_note_pool(
+            args.sr, args.seconds, args.interpret,
+            vels=(0.7,) if args.interpret else (0.4, 0.7, 1.0),
+            midi_step=12 if args.interpret else 1)
+        if args.pool_npz:
+            np.savez_compressed(args.pool_npz,
+                                **{str(k): v for k, v in pool.items()})
+
+    print(f"synthesizing {args.clips} mixtures...")
+    clips = synth_mixtures(pool, args.sr, args.clips, args.clip_seconds,
+                           args.seed)
+    n_val = max(1, args.clips // 10)
+    xs, os_, ps = zip(*(label_clip(a, e, args.sr) for a, e in clips))
+    x_tr = np.concatenate(xs[n_val:])
+    o_tr = np.concatenate(os_[n_val:])
+    p_tr = np.concatenate(ps[n_val:])
+    x_va = np.concatenate(xs[:n_val])
+    o_va = np.concatenate(os_[:n_val])
+    p_va = np.concatenate(ps[:n_val])
+    print(f"frames: train {len(x_tr)}, val {len(x_va)} "
+          f"(onset rate {o_tr.mean():.3f})")
+
+    # training is tiny — run it on CPU so the tunneled TPU isn't in the
+    # per-step path
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = om.train(x_tr, o_tr, p_tr, steps=args.steps,
+                          seed=args.seed, log_every=max(args.steps // 10, 1))
+
+        import jax.numpy as jnp
+
+        ol, pl = om.forward({k: jnp.asarray(v) for k, v in params.items()},
+                            jnp.asarray(x_va))
+    prob = 1.0 / (1.0 + np.exp(-np.asarray(ol)))
+    pred_on = prob > 0.5
+    tp = float(np.sum(pred_on & (o_va > 0.5)))
+    prec = tp / max(pred_on.sum(), 1)
+    rec = tp / max((o_va > 0.5).sum(), 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-9)
+    mask = p_va >= 0
+    acc = float(np.mean(np.argmax(np.asarray(pl)[mask], axis=1)
+                        == p_va[mask])) if mask.any() else float("nan")
+    print(f"val: onset P {prec:.3f} R {rec:.3f} F1 {f1:.3f} | "
+          f"pitch acc {acc:.3f}")
+
+    # end-to-end: decode the val mixtures
+    hits = total = fp = 0
+    for audio, events in clips[:n_val]:
+        found = om.nn_extract_notes(audio, args.sr, params=params,
+                                    min_duration=0.1)
+        total += len(events)
+        used = set()
+        for onset_s, midi in events:
+            ok = [i for i, f in enumerate(found)
+                  if i not in used and abs(f["onset_s"] - onset_s) < 0.08
+                  and abs(f["midi_note"] - midi) <= 1]
+            if ok:
+                used.add(ok[0])
+                hits += 1
+        fp += len(found) - len(used)
+    print(f"end-to-end: {hits}/{total} notes recovered "
+          f"(±80 ms, ±1 semitone), {fp} spurious")
+
+    out = args.out or om._DATA
+    om.save_params(params, out)
+    print(f"→ {out}")
+
+
+if __name__ == "__main__":
+    main()
