@@ -27,6 +27,9 @@ tests/test_mono_chain.py, tests/test_fast_events.py).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 
 from openwurli_tpu.kernels import mono_chain as mc
@@ -201,14 +204,166 @@ def render_events(midis, velocities, onsets, releases, seconds,
     return np.concatenate(outs)[:t_total]
 
 
-def render_midi_file(path, sample_rate=44100.0, tail_seconds=2.0, **kw):
-    """Render a Standard MIDI File through the fused-kernel fast path."""
+VOICE_TIMEOUT_S = 10.0  # engine semantics: voices are retired after 10 s
+
+
+def render_events_parallel(midis, velocities, onsets, releases, seconds,
+                           sample_rate=44100.0, volume=0.5, depth=0.5,
+                           character=0.0, segments=64, warm_seconds=1.0,
+                           interpret=False, t_tile=None):
+    """Event-scheduled single-song render, TIME-PARALLEL → (T,) f32.
+
+    The serial fast path (render_events) is bound by the mono chain's
+    per-sample recurrence at S=1 — the one shape the wide kernels can't
+    help. This renderer turns the song's time axis into the batch axis:
+
+      1. voices render in INSTANCE-LOCAL time (every note starts at its
+         own t=0, voices are mutually independent) — one wide kernel
+         call, then a device-side shift-and-sum into the song;
+      2. the autonomous tremolo — the only chain component with
+         unbounded memory (an oscillator never forgets its phase) — is
+         pre-rolled serially by a tiny dedicated kernel
+         (mono_chain.trem_preroll, ~1 µs/update) and sampled at segment
+         boundaries;
+      3. the chain renders `segments` overlapping time-segments as
+         parallel streams: each segment gets warm_seconds of its
+         preceding audio as warm-up (every non-tremolo component —
+         preamp bias, PA rails, speaker — settles well inside 1 s) with
+         the exact tremolo state injected, and the warm-up samples are
+         discarded.
+
+    Semantically matches render_events(warm_seconds=same) within the
+    fast path's parity gates; segment boundaries carry only the chain's
+    own warm-up residual (gated in tests/test_fast_events.py). Voices
+    observe the engine's 10 s voice timeout (never-damped notes are
+    faded out at VOICE_TIMEOUT_S, engine.rs voice retirement).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import voice_bank as vb
+
+    sr = float(sample_rate)
+    t_tile = t_tile or mc.T_TILE
+    t_total = int(round(seconds * sr))
+    n = len(midis)
+    assert n > 0
+
+    # segment geometry (all multiples of the kernel tile)
+    per = -(-t_total // int(segments))
+    seg_len = max(t_tile, -(-per // t_tile) * t_tile)
+    n_seg = -(-t_total // seg_len)
+    warm = max(t_tile, int(round(warm_seconds * sr)) // t_tile * t_tile)
+
+    onsets = np.asarray(onsets, dtype=np.float64)
+    onsets = np.round(onsets / 16.0) * 16.0
+    releases = np.asarray(releases, dtype=np.float64).copy()
+    releases[~np.isfinite(releases)] = vb.NEVER
+
+    # ── 1. voices in instance-local time ─────────────────────────────
+    rel_local = releases - onsets
+    timeout = VOICE_TIMEOUT_S * sr
+    rel_local = np.minimum(rel_local, timeout)
+    lens = np.minimum(t_total - onsets, timeout).astype(np.int64)
+    t_voice = -(-int(lens.max()) // t_tile) * t_tile
+
+    with jax.default_device(mc._cpu_device()):
+        mc.pack_consts(sr)
+        params, _ = vb.make_kernel_params(
+            np.asarray(midis, dtype=np.float64),
+            np.asarray(velocities, dtype=np.float64), sr,
+            onsets=np.zeros(n), releases=rel_local)
+        ctrl1 = mc.make_controls(sr, 1, volume=volume, depth=depth,
+                                 character=character)
+        ctrl = mc.make_controls(sr, n_seg, volume=volume, depth=depth,
+                                character=character)
+        state = mc.init_state(sr, n_seg)
+
+    params_np = np.asarray(params)
+    voices = vb.render_voice_bank(
+        jnp.asarray(params), t_voice, interpret=interpret,
+        events=vb._has_events(params_np),
+        min_release=vb._min_release(params_np),
+        steady=vb.steady_limits(params_np))
+
+    # shift-and-sum on device: song[o_i + t] += voice_i[t]
+    onset_arr = jnp.asarray(onsets.astype(np.int32))
+    len_arr = jnp.asarray(lens.astype(np.int32))
+    audio = _scatter_voices(voices[:, :n], onset_arr, len_arr, t_total,
+                            t_voice)
+
+    # ── 2. tremolo pre-roll, captured at segment starts ──────────────
+    rows, caps = mc.trem_preroll(sr, ctrl1, n_seg, seg_len,
+                                 interpret=interpret)
+    state = np.asarray(state)
+    for name, a, b, ca, cb in rows:
+        state[a:b, :] = caps[:, ca:cb].T
+
+    # ── 3. segmented chain ───────────────────────────────────────────
+    audio_seg = _segment_windows(audio, n_seg, seg_len, warm)
+    out_seg, _ = mc.render_tpu(sr, ctrl, jnp.asarray(state), audio_seg,
+                               interpret=interpret, t_tile=t_tile)
+    out = jnp.transpose(out_seg[warm:, :]).reshape(-1)
+    return np.asarray(out[:t_total])
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _scatter_voices(voices, onset_arr, len_arr, t_total, t_voice):
+    """sum_i shift(voices[:, i], onset_i) → (t_total,) f32, on device."""
+    import jax
+    import jax.numpy as jnp
+
+    pad = jnp.zeros((t_total, voices.shape[1]), jnp.float32)
+    stacked = jnp.concatenate([pad, voices], axis=0)  # (t_total+t_voice, n)
+
+    def body(acc, iv):
+        col, onset, ln = iv
+        t = jnp.arange(t_total, dtype=jnp.int32)
+        local = t - onset
+        win = jax.lax.dynamic_slice(
+            col, (t_total - onset,), (t_total,))
+        keep = jnp.logical_and(local >= 0, local < ln)
+        return acc + jnp.where(keep, win, 0.0), None
+
+    acc0 = jnp.zeros((t_total,), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (jnp.transpose(stacked), onset_arr, len_arr))
+    return acc.reshape(t_total, 1)
+
+
+def _segment_windows(audio, n_seg, seg_len, warm):
+    """(T, 1) song → (warm+seg_len, n_seg) overlapping segment columns."""
+    import jax
+    import jax.numpy as jnp
+
+    flat = audio.reshape(-1)
+    t_need = n_seg * seg_len
+    flat = jnp.concatenate([
+        jnp.zeros((warm,), jnp.float32), flat,
+        jnp.zeros((max(t_need - flat.shape[0], 0),), jnp.float32)])
+    cols = [jax.lax.dynamic_slice(flat, (k * seg_len,), (warm + seg_len,))
+            for k in range(n_seg)]
+    return jnp.stack(cols, axis=1)
+
+
+def render_midi_file(path, sample_rate=44100.0, tail_seconds=2.0,
+                     parallel=True, **kw):
+    """Render a Standard MIDI File through the fused-kernel fast path.
+
+    parallel=True uses the time-parallel renderer (the fast path for a
+    single song on real hardware); False falls back to the serial
+    block-streamed path."""
     from openwurli_tpu.io import midi_file
 
     events, total_s = midi_file.load_events(path)
     midis, vels, onsets, releases = schedule_events(events, sample_rate)
     if midis.size == 0:
         return np.zeros(0, dtype=np.float32)
+    if parallel:
+        return render_events_parallel(midis, vels, onsets, releases,
+                                      total_s + tail_seconds, sample_rate,
+                                      **kw)
     return render_events(midis, vels, onsets, releases,
                          total_s + tail_seconds, sample_rate, **kw)
 

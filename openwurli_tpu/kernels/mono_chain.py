@@ -746,6 +746,130 @@ def trem_update(c, sc, st):
     return st
 
 
+TREM_STATE = ("trem_z", "trem_di", "trem_vnl", "trem_env",
+              "gldr_cur", "gldr_upd_prev", "trem_phase")
+_PREROLL_ARRAYS = ("trem_P", "trem_K", "trem_cols", "trem_gp", "eye4")
+_PREROLL_LANES = 128
+_PREROLL_ROWS = 24  # 19 state rows padded to a sublane-tile multiple
+
+
+def preroll_rows():
+    """[(name, chain_a, chain_b, cap_a, cap_b)]: row spans of each
+    tremolo-owned component in the packed chain state and in the capture
+    rows returned by trem_preroll."""
+    rows = []
+    off = 0
+    for name in TREM_STATE:
+        a, b = _OFFSETS[name]
+        rows.append((name, a, b, off, off + (b - a)))
+        off += b - a
+    return rows
+
+
+def _make_preroll_kernel(scalars, steps_per_tile, ctrl_off):
+    sc = dict(scalars)
+    rows = preroll_rows()
+
+    def kernel(*refs):
+        arefs = refs[:len(_PREROLL_ARRAYS)]
+        ctrl_ref, state_in_ref = refs[len(_PREROLL_ARRAYS):
+                                      len(_PREROLL_ARRAYS) + 2]
+        out_ref = refs[len(_PREROLL_ARRAYS) + 2]
+        scratch = refs[len(_PREROLL_ARRAYS) + 3]
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _init():
+            scratch[:] = state_in_ref[:]
+
+        # Capture = state ENTERING this tile's first update (pre-update),
+        # i.e. what a serial render holds entering base sample
+        # tile * capture_stride.
+        out_ref[0] = scratch[:]
+
+        def body(i, carry):
+            c = {n: r[...] for n, r in zip(_PREROLL_ARRAYS, arefs)}
+            a_rl, b_rl = ctrl_off["r_lower"]
+            a_dt, b_dt = ctrl_off["div_top"]
+            c["r_lower"] = ctrl_ref[a_rl:b_rl]
+            c["div_top"] = ctrl_ref[a_dt:b_dt]
+            st = {name: scratch[ca:cb] for name, _, _, ca, cb in rows}
+            st2 = trem_update(c, sc, st)
+            for name, _, _, ca, cb in rows:
+                scratch[ca:cb] = st2[name]
+            return carry
+
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps_per_tile), body,
+                          jnp.float32(0.0))
+
+    return kernel
+
+
+def trem_preroll(base_sr, controls, n_captures, capture_stride,
+                 state_flat=None, interpret=False):
+    """Advance ONLY the autonomous tremolo subsystem (it never reads the
+    audio) and return captures of its state on a stride grid.
+
+    Returns (rows, caps): `rows` = preroll_rows(); `caps` float32
+    (n_captures, 19) where caps[k] is the tremolo-owned state ENTERING
+    base sample k·capture_stride, before that sample's update — exactly
+    what a serial render holds there. The time-parallel song renderer
+    injects these rows into per-segment initial chain states: the
+    tremolo phase is the one chain component with unbounded memory (an
+    autonomous oscillator never forgets its phase, so segment warm-up
+    cannot reproduce it) while every other component settles within the
+    warm-up. Runs as a small Pallas kernel: one grid step per capture
+    interval, state in scratch, ~0.5 µs per tremolo update."""
+    assert capture_stride % SUB_BASE == 0, capture_stride
+    consts = pack_consts(base_sr)
+    with jax.enable_x64(False):
+        if state_flat is None:
+            state_flat = init_state(base_sr, 1)
+        caps = _trem_preroll_jit(
+            float(base_sr), jnp.asarray(controls)[:, :1],
+            jnp.asarray(state_flat, jnp.float32), int(n_captures),
+            int(capture_stride), bool(interpret))
+    return preroll_rows(), np.asarray(caps)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _trem_preroll_jit(base_sr, controls, state_flat, n_captures,
+                      capture_stride, interpret):
+    consts = pack_consts(base_sr)
+    rows = preroll_rows()
+    state0 = jnp.zeros((_PREROLL_ROWS, _PREROLL_LANES), jnp.float32)
+    for name, a, b, ca, cb in rows:
+        state0 = state0.at[ca:cb].set(
+            jnp.broadcast_to(state_flat[a:b, :1], (b - a, _PREROLL_LANES)))
+    ctrl = jnp.broadcast_to(controls[:, :1],
+                            (controls.shape[0], _PREROLL_LANES))
+    arrays = [jnp.asarray(consts.arrays[n]) for n in _PREROLL_ARRAYS]
+    steps_per_tile = capture_stride // SUB_BASE
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_captures,),
+        in_specs=[pl.BlockSpec(a.shape, lambda t, _n=len(a.shape): (0,) * _n,
+                               memory_space=pltpu.VMEM) for a in arrays]
+        + [pl.BlockSpec(ctrl.shape, lambda t: (0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec(state0.shape, lambda t: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _PREROLL_ROWS, _PREROLL_LANES),
+                               lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_PREROLL_ROWS, _PREROLL_LANES), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        _make_preroll_kernel(consts.scalars, steps_per_tile, _CTRL_OFF),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_captures, _PREROLL_ROWS, _PREROLL_LANES), jnp.float32),
+        interpret=interpret,
+    )(*arrays, ctrl, state0)
+    return out[:, :19, 0]
+
+
 def preamp_step(c, sc, st, u_main, gldr):
     """Twin DK preamp, one oversampled sample. u_main (1,S); shadow = 0.
     Returns (st, out) with out = main − shadow (1,S).

@@ -538,7 +538,7 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
                 jnp.asarray([n0], jnp.int32),
                 jnp.asarray([n0], jnp.float32),
                 num_samples, interpret, steady, bool(events),
-                float(min_rel))
+                float(min_rel), return_state)
             return (out, st) if return_state else out
         # Wider banks exceed VMEM (params are pipeline-double-buffered):
         # render in max_lanes chunks and stitch.
@@ -550,7 +550,7 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
                 jnp.asarray([n0], jnp.int32),
                 jnp.asarray([n0], jnp.float32),
                 num_samples, interpret, steady, bool(events),
-                float(min_rel))
+                float(min_rel), return_state)
             outs.append(o)
             sts.append(s)
         out = jnp.concatenate(outs, axis=-1)
@@ -559,16 +559,26 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
         return out
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
                            interpret: bool, steady, events: bool,
-                           min_release: float):
+                           min_release: float, exact_state: bool = False):
     lanes = params.shape[-1]
     # Output tile ≤ ~1 MB (768 KB at the widest lane count — the batched
     # pickup's (8, V) temporaries need the headroom) so params + scratch
     # + double-buffered output stay inside the 16 MB VMEM budget.
     budget = (3 << 18) if lanes >= 8192 else (1 << 20)
     t_tile = max(16, min(T_TILE, budget // (lanes * 4) // 16 * 16))
+    if exact_state:
+        # The grid renders n_tiles·t_tile samples; a CARRIED state must
+        # correspond to num_samples exactly, so the tile must divide it
+        # (halving keeps tiles powers of two, which keeps the hoisted
+        # renorm on the global RENORM_INTERVAL grid for any tile size).
+        while t_tile > 16 and num_samples % t_tile:
+            t_tile //= 2
+        assert num_samples % t_tile == 0, (
+            f"state-carried renders need num_samples divisible by 16 "
+            f"(got {num_samples})")
     n_tiles = (num_samples + t_tile - 1) // t_tile
     total = n_tiles * t_tile
     grid_spec = pltpu.PrefetchScalarGridSpec(

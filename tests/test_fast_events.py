@@ -140,3 +140,55 @@ def test_render_events_end_to_end():
     tail = np.abs(out[-2000:]).max()
     assert body > 1e-4
     assert tail < 0.2 * body
+
+
+def test_block_stream_exact_for_non_tile_multiple_blocks():
+    """Regression: the carried state must correspond to num_samples even
+    when the block length is NOT a multiple of the kernel's internal
+    time tile (the kernel used to round the render up to whole tiles,
+    desyncing every later block)."""
+    midis = np.array([60.0, 72.0])
+    params, _ = voice_bank.make_kernel_params(
+        midis, np.array([0.8, 0.7]), SR,
+        onsets=np.zeros(2), releases=np.array([800.0, voice_bank.NEVER]))
+    pn = np.asarray(params)
+    mr = voice_bank._min_release(pn)
+    whole = np.asarray(voice_bank.render_voice_bank(
+        params, 1200, True, events=True, min_release=mr))
+    state = voice_bank.init_bank_state(pn)
+    blocks = []
+    for b in range(3):
+        o, state = voice_bank.render_voice_bank(
+            params, 400, True, events=True, min_release=mr,
+            state=state, n0=b * 400, return_state=True)
+        blocks.append(np.asarray(o))
+    np.testing.assert_array_equal(whole, np.concatenate(blocks, axis=0))
+
+
+@pytest.mark.slow
+def test_render_events_parallel_matches_serial():
+    """Time-parallel (segmented) song render vs the serial block-streamed
+    path. Gate at the chain's own trajectory-sensitivity bound (see
+    tests/test_mono_chain.py full-chain notes): segment warm-up
+    reproduces every fading-memory component and the injected tremolo
+    phase is exact, so the residual is the chain's low-order-bit
+    amplification."""
+    sr = 8000.0
+    midis = np.array([60.0, 64.0, 55.0])
+    vels = np.array([0.8, 0.6, 0.9])
+    onsets = np.array([0.0, np.round(0.3 * sr / 16) * 16,
+                       np.round(0.9 * sr / 16) * 16])
+    releases = np.array([1.2 * sr, 1.5 * sr, np.inf])
+    warm = 8000
+    par = fast.render_events_parallel(
+        midis, vels, onsets, releases, 2.0, sr, segments=4,
+        warm_seconds=warm / sr, interpret=True, t_tile=32)
+    ser = fast.render_events(
+        midis, vels, onsets, releases, 2.0, sr, warm_seconds=warm / sr,
+        interpret=True, t_tile=32, block_seconds=0.5)
+    assert par.shape == ser.shape
+    assert np.isfinite(par).all()
+    rms_ref = np.sqrt(np.mean(ser**2))
+    rms_err = np.sqrt(np.mean((par - ser)**2))
+    db = 20 * np.log10(max(rms_err, 1e-30) / max(rms_ref, 1e-30))
+    assert db < -35.0, f"time-parallel parity {db:.1f} dB"
