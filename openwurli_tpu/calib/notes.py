@@ -86,13 +86,15 @@ def estimate_pitch(audio, sr, fmin=50.0, fmax=2200.0):
     return float(best_f), float(midi)
 
 
-def extract_notes(audio, sr, min_duration=0.25, method="auto"):
+def extract_notes(audio, sr, min_duration=0.25, method="spectral"):
     """Segment a recording into note observations.
 
-    method: "auto" uses the trained onset/pitch network
-    (calib.onset_model, the reference's basic-pitch role) when its
-    weights are installed, falling back to the spectral-flux/harmonic-sum
-    path here; "nn" / "spectral" force one.
+    method: "spectral" (default) uses the spectral-flux/harmonic-sum
+    path below; "nn" uses the trained onset/pitch network
+    (calib.onset_model, the reference's basic-pitch role — strongest on
+    instrument-rendered material, tools/train_onset_model.py reports
+    its metrics); "auto" tries the network and falls back here when no
+    weights are installed or it finds nothing.
 
     Returns a list of dicts: onset_s, offset_s, midi_note, f0_hz,
     velocity_norm (peak-based proxy).

@@ -154,10 +154,15 @@ def train(x, y_onset, y_pitch, steps=3000, batch=512, lr=2e-3, seed=0,
     import optax
 
     params = init_params(seed)
-    # per-bin standardization (x rows are CONTEXT stacked frames)
+    # Per-bin standardization (x rows are CONTEXT stacked frames). The
+    # std is FLOORED at 0.25: bins that are near-constant in training
+    # (e.g. sub-audio bands holding only the log-epsilon floor) would
+    # otherwise turn any out-of-distribution energy into standardized
+    # values in the thousands and saturate the heads.
     per_bin = x.reshape(-1, CONTEXT, N_BINS)[:, CONTEXT // 2, :]
     params["feat_mean"] = per_bin.mean(axis=0).astype(np.float32)
-    params["feat_std"] = (per_bin.std(axis=0) + 1e-3).astype(np.float32)
+    params["feat_std"] = np.maximum(per_bin.std(axis=0),
+                                    0.25).astype(np.float32)
     train_keys = [k for k in params if not k.startswith("feat_")]
 
     pj = {k: jnp.asarray(v) for k, v in params.items()}
@@ -217,11 +222,17 @@ def predict(params, audio, sr):
 
 
 def nn_extract_notes(audio, sr, params=None, min_duration=0.25,
-                     onset_threshold=0.6):
+                     onset_threshold=0.6, min_gap_s=0.2,
+                     pitch_skip_s=0.12, pitch_span_s=0.55):
     """Model-based drop-in for calib.notes.extract_notes.
 
-    Returns the same note-dict schema (onset_s/offset_s/midi_note/f0_hz/
-    velocity_norm); empty list when no trained weights are available.
+    min_gap_s merges the duplicate posterior peaks the soft wurli attack
+    produces (~0.2 s apart); the pitch window SKIPS the attack region
+    (pitch_skip_s) where the posterior is least reliable and reads the
+    early sustain instead — both measured decode wins on the shipped
+    model. Returns the same note-dict schema (onset_s/offset_s/
+    midi_note/f0_hz/velocity_norm); empty list when no trained weights
+    are available.
     """
     params = params if params is not None else load_params()
     if params is None:
@@ -231,8 +242,7 @@ def nn_extract_notes(audio, sr, params=None, min_duration=0.25,
         audio = audio.mean(axis=1)
     prob, pitch_logits, hop_s = predict(params, audio, sr)
     n = len(prob)
-    # peak-pick: local maxima above threshold, >=50 ms apart
-    min_gap = max(1, int(0.05 / hop_s))
+    min_gap = max(1, int(min_gap_s / hop_s))
     peaks = []
     for i in range(1, n - 1):
         if (prob[i] >= onset_threshold and prob[i] >= prob[i - 1]
@@ -242,15 +252,19 @@ def nn_extract_notes(audio, sr, params=None, min_duration=0.25,
     notes = []
     bounds = peaks + [n]
     peak_global = max(np.abs(audio).max(), 1e-12)
-    span = max(1, int(0.4 / hop_s))
+    skip = max(0, int(pitch_skip_s / hop_s))
+    span = max(1, int(pitch_span_s / hop_s))
     for k, i0 in enumerate(peaks):
         i1 = bounds[k + 1]
         onset_s = i0 * hop_s
         offset_s = min(i1 * hop_s, len(audio) / sr)
         if offset_s - onset_s < min_duration:
             continue
-        # pitch: argmax of summed logits over the attack+early sustain
-        pl = pitch_logits[i0:min(i0 + span, i1)].sum(axis=0)
+        a = min(i0 + skip, max(i1 - 1, i0))
+        b = min(i0 + span, i1)
+        if b <= a:
+            a, b = i0, max(i0 + 1, i1)
+        pl = pitch_logits[a:b].sum(axis=0)
         cls = int(np.argmax(pl[:-1]))          # exclude "none"
         midi = MIDI_LO + cls
         f0 = 440.0 * 2.0 ** ((midi - 69) / 12.0)

@@ -77,9 +77,26 @@ def test_nn_extract_returns_empty_without_weights(tmp_path):
 @pytest.mark.skipif(om.load_params() is None,
                     reason="trained weights not installed")
 def test_shipped_weights_extract_two_notes():
-    events = [(0.4, 48), (1.3, 67)]
-    audio = _mixture(events, SR, 2.5)
-    found = om.nn_extract_notes(audio, SR, min_duration=0.15)
+    """Extraction on the model's actual domain: two instrument-rendered
+    notes (fast-path clips shipped as a fixture) at staggered onsets."""
+    import os
+
+    fix = os.path.join(os.path.dirname(__file__), "baselines",
+                       "onset_test_clips.npz")
+    with np.load(fix) as z:
+        clips = {48: z["note48"], 67: z["note67"]}
+        sr = float(z["sr"])
+    events = [(0.4, 48), (1.7, 67)]
+    audio = np.zeros(int(3.4 * sr))
+    for onset_s, midi in events:
+        seg = clips[midi].astype(np.float64)
+        n_f = int(0.05 * sr)
+        seg[-n_f:] *= np.linspace(1.0, 0.0, n_f)
+        i0 = int(onset_s * sr)
+        n = min(len(seg), len(audio) - i0)
+        audio[i0:i0 + n] += seg[:n]
+    audio += 1e-5 * np.random.default_rng(0).normal(size=len(audio))
+    found = om.nn_extract_notes(audio, sr, min_duration=0.15)
     assert len(found) >= 2, found
     for onset_s, midi in events:
         match = [f for f in found

@@ -29,21 +29,50 @@ import numpy as np
 def render_note_pool(sr, seconds, interpret, vels=(0.4, 0.7, 1.0),
                      midi_step=1):
     """Render every (midi 36-96 × velocity) single note through the full
-    fast-path chain → dict[(midi, vel)] = (T,) float32."""
+    fast-path chain → dict[(midi, vel)] = (T,) float32.
+
+    All combinations go into ONE render_grid call with the stream count
+    padded to a multiple of 128: odd stream counts hand the mono-chain
+    kernel a ragged lane dimension and the Mosaic compile crawls."""
     from openwurli_tpu import fast
     from openwurli_tpu.calib.onset_model import MIDI_HI, MIDI_LO
 
     midis = np.arange(MIDI_LO, MIDI_HI + 1, midi_step, dtype=np.float64)
+    combos = [(int(m), v) for v in vels for m in midis]
+    s_pad = max(128, -(-len(combos) // 128) * 128) if not interpret \
+        else len(combos)
+    grid = np.full(s_pad, 60.0)
+    vel_col = np.full(s_pad, 0.5)
+    for i, (m, v) in enumerate(combos):
+        grid[i] = m
+        vel_col[i] = v
+    out = np.asarray(fast.render_grid(
+        grid[:, None], vel_col[:, None], seconds, sr,
+        volume=0.5, depth=0.4, character=0.0, interpret=interpret))
     pool = {}
-    for vel in vels:
-        grid = midis[:, None]                    # (S, 1): one note/stream
-        out = fast.render_grid(grid, float(vel), seconds, sr,
-                               volume=0.5, depth=0.4, character=0.0,
-                               interpret=interpret)
-        out = np.asarray(out)
-        for i, m in enumerate(midis):
-            pool[(int(m), vel)] = out[:, i].astype(np.float32)
-        print(f"  rendered {len(midis)} notes at velocity {vel}")
+    for i, (m, v) in enumerate(combos):
+        pool[(m, v)] = out[:, i].astype(np.float32)
+    print(f"  rendered {len(combos)} (note, velocity) combinations "
+          f"in one {s_pad}-stream call")
+    return pool
+
+
+def add_synthetic_tones(pool, sr, seconds):
+    """Augment the pool with plain decaying harmonic tones (one per MIDI
+    note): the extractor must also work on audio that did NOT pass
+    through this repo's chain — DI captures, other recordings, test
+    tones — so a second timbre family keeps it from overfitting the
+    chain's coloration."""
+    from openwurli_tpu.calib.onset_model import MIDI_HI, MIDI_LO
+
+    t = np.arange(int(seconds * sr)) / sr
+    for midi in range(MIDI_LO, MIDI_HI + 1):
+        f0 = 440.0 * 2.0 ** ((midi - 69) / 12.0)
+        env = np.exp(-3.0 * t) * np.minimum(t / 0.01, 1.0)
+        tone = env * (np.sin(2 * np.pi * f0 * t)
+                      + 0.45 * np.sin(2 * np.pi * 2 * f0 * t)
+                      + 0.15 * np.sin(2 * np.pi * 3 * f0 * t))
+        pool[(midi, "syn")] = (0.1 * tone).astype(np.float32)
     return pool
 
 
@@ -62,7 +91,11 @@ def synth_mixtures(pool, sr, n_clips, clip_seconds, seed):
             onset_s = float(rng.uniform(0.1, clip_seconds - 0.6))
             gain = 10.0 ** (rng.uniform(-12.0, 0.0) / 20.0)
             i0 = int(onset_s * sr)
-            seg = pool[(midi, vel)]
+            seg = pool[(midi, vel)].astype(np.float64).copy()
+            # fade the pool clip's hard cut (a real note rings out; the
+            # cut's broadband splatter would teach spurious onsets)
+            n_f = min(len(seg), int(0.05 * sr))
+            seg[-n_f:] *= np.linspace(1.0, 0.0, n_f)
             n = min(len(seg), t_len - i0)
             audio[i0:i0 + n] += gain * seg[:n]
             events.append((onset_s, midi))
@@ -151,7 +184,9 @@ def main():
             np.savez_compressed(args.pool_npz,
                                 **{str(k): v for k, v in pool.items()})
 
-    print(f"synthesizing {args.clips} mixtures...")
+    add_synthetic_tones(pool, args.sr, min(args.seconds, 1.5))
+    print(f"synthesizing {args.clips} mixtures "
+          f"({len(pool)} pool entries incl. synthetic tones)...")
     clips = synth_mixtures(pool, args.sr, args.clips, args.clip_seconds,
                            args.seed)
     n_val = max(1, args.clips // 10)
