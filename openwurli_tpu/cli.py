@@ -212,7 +212,8 @@ def cmd_render_midi(args):
         out = fast.render_midi_file(
             args.input, args.sr, tail_seconds=args.tail,
             volume=args.volume, depth=args.tremolo,
-            character=args.speaker)
+            character=args.speaker,
+            parallel=not getattr(args, "serial", False))
         wav.write_wav(args.output, np.asarray(out, np.float64), args.sr,
                       bits=24)
         print(f"Rendered {args.input} ({len(out)/args.sr:.1f}s, fused "
@@ -580,6 +581,9 @@ def build_parser():
                     help="event-capable fused-Pallas path (note-off/"
                          "damper/sustain resolved host-side; "
                          "fast.render_midi_file)")
+    sp.add_argument("--serial", action="store_true",
+                    help="with --fast: force the serial block-streamed "
+                         "path instead of the time-parallel renderer")
 
     sp = add("alias-audit", cmd_alias_audit,
              help="Click-band aliasing audit (H6-H11 plateau + HF hash)")

@@ -74,3 +74,30 @@ def test_quick_tonal_anchor():
             zip(hs, TONAL_GOLDEN_DB, TONAL_TOL_DB), start=1):
         assert abs(got - want) < tol, (
             f"H{h} drifted: {got:.2f} dB vs golden {want:.2f} (tol {tol})")
+
+
+def test_trem_preroll_matches_serial_updates():
+    """The tremolo pre-roll kernel's captures equal serially applied
+    trem_update states (the time-parallel renderer's correctness hinges
+    on this: captured state entering sample k*stride, pre-update)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import mono_chain as mc
+
+    sr = 44100.0
+    mc.pack_consts(sr)
+    ctrl = mc.make_controls(sr, 1, volume=0.5, depth=0.5)
+    rows, caps = mc.trem_preroll(sr, ctrl, n_captures=3, capture_stride=64,
+                                 interpret=True)
+    with jax.enable_x64(False):
+        consts = mc.pack_consts(sr)
+        c, sc = mc._merged_consts(consts, jnp.asarray(ctrl)[:, :1])
+        st = mc.unpack_state(jnp.asarray(mc.init_state(sr, 1), jnp.float32))
+        stt = {n: st[n] for n in mc.TREM_STATE}
+        for k in range(3):
+            ref = np.concatenate(
+                [np.asarray(stt[n])[:, 0] for n in mc.TREM_STATE])
+            np.testing.assert_allclose(caps[k], ref, atol=5e-6)
+            for _ in range(64 // mc.SUB_BASE):
+                stt = mc.trem_update(c, sc, stt)
