@@ -1,20 +1,42 @@
-"""Streaming host: NDJSON protocol + MIDI pipe mode (in-process)."""
+"""Streaming host: NDJSON protocol + MIDI pipe mode.
+
+Each test runs the host in a SUBPROCESS: the engine's f64-scan compile
+is the largest single XLA CPU compilation in the repo, and late in a
+long suite run it can crash the in-process compiler (order-dependent
+segfault observed at the same call site that passes in isolation) — a
+fresh interpreter per test sidesteps the compiler-state dependence and
+matches how the host actually runs (its own process on a pipe).
+"""
 
 import io
 import json
+import os
+import struct
+import subprocess
+import sys
 
 import numpy as np
 import pytest
 
-from openwurli_tpu.stream_host import StreamHost, play_midi
-
 pytestmark = pytest.mark.slow  # engine renders on the contended CPU
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _run_host(args, stdin_bytes, timeout=900):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from openwurli_tpu import stream_host; stream_host.main()",
+         *args],
+        input=stdin_bytes, capture_output=True, timeout=timeout, env=env,
+        cwd=REPO, check=False)
 
 
 def test_serve_protocol_renders_pcm():
-    host = StreamHost(44100.0, block=256)
-    out = io.BytesIO()
-    err = io.StringIO()
     cmds = [
         {"cmd": "init", "sample_rate": 44100, "block": 256},
         {"cmd": "param", "name": "volume", "value": 0.6},
@@ -29,19 +51,19 @@ def test_serve_protocol_renders_pcm():
         {"cmd": "bogus"},
         {"cmd": "quit"},
     ]
-    host.serve((json.dumps(c) + "\n" for c in cmds), out, err)
-    pcm = np.frombuffer(out.getvalue(), dtype=np.float32).reshape(-1, 2)
+    stdin = "".join(json.dumps(c) + "\n" for c in cmds).encode()
+    proc = _run_host(["--serve"], stdin)
+    assert proc.returncode == 0, proc.stderr.decode()[-800:]
+    pcm = np.frombuffer(proc.stdout, dtype=np.float32).reshape(-1, 2)
     assert pcm.shape == (4 * 256, 2)
     assert np.isfinite(pcm).all()
     assert np.abs(pcm).max() > 0.0
     # stereo fan-out is an exact mono copy
     assert np.array_equal(pcm[:, 0], pcm[:, 1])
-    assert "error: unknown cmd 'bogus'" in err.getvalue()
+    assert "error: unknown cmd 'bogus'" in proc.stderr.decode()
 
 
 def test_midi_pipe_mode(tmp_path):
-    import struct
-
     def vlq(n):
         out = [n & 0x7F]
         n >>= 7
@@ -61,12 +83,12 @@ def test_midi_pipe_mode(tmp_path):
     path = tmp_path / "t.mid"
     path.write_bytes(smf)
 
-    out = io.BytesIO()
-    err = io.StringIO()
-    rtf = play_midi(str(path), out, block=2048, tail_seconds=0.1, err=err)
-    pcm = np.frombuffer(out.getvalue(), dtype=np.float32).reshape(-1, 2)
-    assert pcm.shape[0] >= int(0.5 * 44100)
+    proc = _run_host(["--midi", str(path), "--block", "2048",
+                      "--tail", "0.1"], b"")
+    assert proc.returncode == 0, proc.stderr.decode()[-800:]
+    pcm = np.frombuffer(proc.stdout, dtype=np.float32).reshape(-1, 2)
+    # song = 0.25 s (240 ticks @ 480 tpq, default 120 bpm) + 0.1 s tail
+    assert pcm.shape[0] >= int(0.34 * 44100)
     assert np.isfinite(pcm).all()
     assert np.abs(pcm).max() > 1e-4
-    assert rtf > 0
-    assert "x realtime" in err.getvalue()
+    assert "x realtime" in proc.stderr.decode()
