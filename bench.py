@@ -16,7 +16,15 @@ that consumes every output (full-audio transfers over the tunneled
 device measure network bandwidth, not compute; block_until_ready alone
 returns early on this platform).
 
-Prints ONE JSON line:
+Outage resilience (the tunneled device has documented ≥45 min outages
+whose failure mode is a HANG, not an exception): the parent process
+never initializes JAX. Health probes and every ladder rung run in
+subprocesses with hard kill timeouts; the ladder retries over a long
+window; if any rung ever succeeded its JSON is emitted even when later
+rungs die. Only if the device never answers within the window does a
+clearly-labelled CPU fallback number get emitted instead of rc=1.
+
+Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 vs_baseline: the reference's own best published full-chain polyphonic
@@ -24,25 +32,32 @@ number (render-poly, 6 notes × 10 s in 1.13 s ≈ 53× realtime, reference
 CHANGELOG.md:111) — our per-stream workload (64 sounding voices) is
 strictly heavier.
 
-Env knobs: BENCH_STREAMS (128), BENCH_SECONDS (~1), BENCH_REPS (3),
-BENCH_SAMPLE_RATE (44100).
+Env knobs: BENCH_STREAMS (ladder), BENCH_REPS (3), BENCH_SAMPLE_RATE
+(44100), BENCH_WAIT_S (total health-wait budget, default 3600),
+BENCH_RUNG_TIMEOUT_S (hard kill per rung, default 1500),
+BENCH_NO_CPU_FALLBACK (set to skip the CPU fallback).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
+REFERENCE_RTF = 53.0  # render-poly, reference CHANGELOG.md:111
 
+
+# ---------------------------------------------------------------- child
 
 def _setup_platforms():
+    import jax
     plats = os.environ.get("JAX_PLATFORMS", "")
     if plats and "cpu" not in plats.split(","):
         jax.config.update("jax_platforms", plats + ",cpu")
 
 
 def _run_fused(streams, sr, reps):
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -131,60 +146,170 @@ def _run_fused(streams, sr, reps):
     return rtf, best, compile_s, peak
 
 
-def _wait_device_healthy(max_wait_s=300):
-    import numpy as np
+def _child_probe():
+    """Tiny jit on the default (accelerator) platform; exits 0 iff OK."""
+    _setup_platforms()
+    import jax
     import jax.numpy as jnp
-
-    deadline = time.time() + max_wait_s
-    while True:
-        try:
-            np.asarray(jax.jit(lambda a: a + 1.0)(jnp.ones((4,))))
-            return True
-        except Exception:
-            if time.time() > deadline:
-                return False
-            time.sleep(20)
+    import numpy as np
+    np.asarray(jax.jit(lambda a: a + 1.0)(jnp.ones((4,))))
+    print("ok")
 
 
-def main():
+def _child_rung(streams):
     _setup_platforms()
     sr = float(os.environ.get("BENCH_SAMPLE_RATE", "44100"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # Safest-first ladder; the best surviving config is reported.
-    # Throughput saturates around 256-512 streams (~330x aggregate).
+    rtf, wall, compile_s, peak = _run_fused(streams, sr, reps)
+    print(json.dumps({"rtf": rtf, "wall": wall, "compile_s": compile_s,
+                      "peak": peak, "streams": streams}))
+
+
+# --------------------------------------------------------------- parent
+
+def _log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def _spawn(args, timeout_s, env=None):
+    """Run a child bench.py mode; hard-kill on timeout. Returns
+    (rc, stdout, stderr) with rc=None meaning timed out/killed."""
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, timeout=timeout_s,
+            env=full_env, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (
+            e.stdout or "")
+        err = e.stderr.decode() if isinstance(e.stderr, bytes) else (
+            e.stderr or "")
+        return None, out, err
+
+
+def _probe_once(timeout_s=120):
+    rc, out, _ = _spawn(["--probe"], timeout_s)
+    return rc == 0 and "ok" in out
+
+
+def _wait_device_healthy(budget_s, deadline):
+    """Probe in a watchdogged subprocess until healthy or out of time.
+
+    The inline probe of rounds 1-3 HUNG on a dead tunnel (the deadline
+    was only checked in the except path) — round 3's scored artifact was
+    lost to exactly that. Subprocess + hard kill makes a hang just a
+    failed probe.
+    """
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_once():
+            if attempt > 1:
+                _log(f"device healthy after {time.time() - t0:.0f}s "
+                     f"({attempt} probes)")
+            return True
+        now = time.time()
+        if now >= deadline or now - t0 >= budget_s:
+            return False
+        _log(f"device unhealthy (probe {attempt}, "
+             f"{now - t0:.0f}s elapsed); retrying")
+        time.sleep(min(60, max(5, deadline - now)))
+
+
+def _emit(rtf, fallback=False):
+    metric = "64-voice full-chain render throughput per chip"
+    if fallback:
+        metric += " (CPU fallback; TPU unreachable all round)"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(rtf, 1),
+        "unit": "x_realtime",
+        "vs_baseline": round(rtf / REFERENCE_RTF, 2),
+    }), flush=True)
+
+
+def main():
+    if "--probe" in sys.argv:
+        _child_probe()
+        return
+    if "--rung" in sys.argv:
+        _child_rung(int(sys.argv[sys.argv.index("--rung") + 1]))
+        return
+
+    wait_budget = float(os.environ.get("BENCH_WAIT_S", "3600"))
+    rung_timeout = float(os.environ.get("BENCH_RUNG_TIMEOUT_S", "1500"))
+    deadline = time.time() + wait_budget + 4 * rung_timeout
+
     if "BENCH_STREAMS" in os.environ:
         ladder = [int(os.environ["BENCH_STREAMS"])]
     else:
+        # Safest-first; the best surviving config is reported.
         ladder = [128, 256, 512, 1024]
 
-    best = None
-    last_err = None
-    for streams in ladder:
-        if not _wait_device_healthy():
-            print("# device unhealthy; stopping ladder", file=sys.stderr)
-            break
-        try:
-            rtf, wall, compile_s, peak = _run_fused(streams, sr, reps)
-            print(f"# streams={streams} wall={wall:.3f}s "
-                  f"compile={compile_s:.0f}s per_stream="
-                  f"{rtf/streams:.2f}x peak={peak:.4f}", file=sys.stderr)
-            if best is None or rtf > best[0]:
-                best = (rtf, streams)
-        except Exception as e:
-            last_err = e
-            print(f"# streams={streams} failed: {type(e).__name__}: "
-                  f"{str(e)[:160]}", file=sys.stderr)
-    if best is None:
-        raise SystemExit(f"all bench configs failed: {last_err}")
+    best = None  # (rtf, streams)
 
-    rtf, streams = best
-    reference_rtf = 53.0  # render-poly, reference CHANGELOG.md:111
-    print(json.dumps({
-        "metric": "64-voice full-chain render throughput per chip",
-        "value": round(rtf, 1),
-        "unit": "x_realtime",
-        "vs_baseline": round(rtf / reference_rtf, 2),
-    }))
+    for round_no in range(1, 4):  # up to 3 ladder passes across outages
+        if time.time() >= deadline:
+            break
+        if not _wait_device_healthy(wait_budget, deadline):
+            _log("device never became healthy within the wait budget")
+            break
+        ladder_ok = False
+        for streams in ladder:
+            if time.time() + 60 >= deadline:
+                break
+            rc, out, err = _spawn(["--rung", str(streams)], rung_timeout)
+            if rc == 0:
+                try:
+                    r = json.loads(out.strip().splitlines()[-1])
+                except (ValueError, IndexError):
+                    _log(f"streams={streams}: unparseable rung output")
+                    continue
+                ladder_ok = True
+                _log(f"streams={streams} wall={r['wall']:.3f}s "
+                     f"compile={r['compile_s']:.0f}s "
+                     f"per_stream={r['rtf'] / streams:.2f}x "
+                     f"peak={r['peak']:.4f}")
+                if best is None or r["rtf"] > best[0]:
+                    best = (r["rtf"], streams)
+            elif rc is None:
+                _log(f"streams={streams}: rung hard-killed after "
+                     f"{rung_timeout:.0f}s (device hang?)")
+            else:
+                tail = (err or out).strip().splitlines()
+                _log(f"streams={streams}: rc={rc}: "
+                     f"{' | '.join(tail[-2:])[:200]}")
+        if ladder_ok:
+            break  # a full healthy pass happened; report it
+        _log(f"ladder pass {round_no} produced nothing; retrying")
+
+    if best is not None:
+        _emit(best[0])
+        return
+
+    if not os.environ.get("BENCH_NO_CPU_FALLBACK"):
+        # Last resort: a real measurement on the host CPU, clearly
+        # labelled, so the round still records SOME number instead of
+        # rc=1 when the tunnel is dead for the entire budget.
+        _log("falling back to CPU measurement")
+        rc, out, err = _spawn(
+            ["--rung", "8"], rung_timeout,
+            env={"JAX_PLATFORMS": "cpu", "BENCH_REPS": "1"})
+        if rc == 0:
+            try:
+                r = json.loads(out.strip().splitlines()[-1])
+                _emit(r["rtf"], fallback=True)
+                return
+            except (ValueError, IndexError):
+                pass
+        _log("CPU fallback also failed")
+
+    raise SystemExit("all bench configs failed")
 
 
 if __name__ == "__main__":
