@@ -204,7 +204,69 @@ def render_events(midis, velocities, onsets, releases, seconds,
     return np.concatenate(outs)[:t_total]
 
 
-VOICE_TIMEOUT_S = 10.0  # engine semantics: voices are retired after 10 s
+VOICE_TIMEOUT_S = 10.0  # reference: damping voices retire 10 s after RELEASE
+
+
+def _voice_lifetimes(midis, onsets, releases, sr, t_total):
+    """Per-voice audible lifetime in samples, instance-local.
+
+    Mirrors Voice::is_silent (reference voice.rs:181-188): a voice ends
+    at its envelope's −80 dB point — natural decay for never-damped
+    voices (tables.rs:390-395 law, 0.005·f^1.22 dB/s floored at 3), or
+    the damper decay after release (reed.rs:191-216 slowest-mode rate
+    plus the ramp) — with the reference's 10 s post-RELEASE safety
+    timeout as a hard cap on the damper tail. Never-released voices are
+    NOT retired at 10 s: the reference only times out voices that are
+    DAMPING (is_damping && release_seconds > 10, voice.rs:183-185), so
+    sustained notes ring to their natural decay floor (≤ 80/3 ≈ 27 s).
+    """
+    m = np.asarray(midis, dtype=np.float64)
+    f = 440.0 * 2.0 ** ((m - 69.0) / 12.0)
+    decay_db_s = np.maximum(0.005 * f ** 1.22, 3.0)
+    ring = (80.0 / decay_db_s + 0.1) * sr          # natural −80 dB point
+    rel_local = np.asarray(releases, dtype=np.float64) - onsets
+    # slowest damper mode: amplitude rate base_rate/s → −80 dB at
+    # ln(10^4)/base_rate ≈ 9.22/base_rate, plus the felt ramp-in
+    base_rate = np.maximum(55.0 * 2.0 ** ((m - 60.0) / 24.0), 0.5)
+    ramp_s = np.select([m < 48.0, m < 72.0], [0.050, 0.025], 0.008)
+    tail = np.minimum(ramp_s + 9.22 / base_rate, VOICE_TIMEOUT_S) * sr
+    damped = np.logical_and(rel_local < ring, m < 92.0)  # top 5: no damper
+    life = np.where(damped, np.minimum(rel_local + tail, ring), ring)
+    return np.minimum(t_total - onsets, life).astype(np.int64)
+
+
+def _song_voices(midis, velocities, onsets, rel_local, lens, t_total, sr,
+                 interpret, t_tile):
+    """Voices in instance-local time → device shift-and-sum → (T, 1).
+
+    Every note starts at its own t=0 (voices are mutually independent),
+    so one wide kernel call of max(lens) samples covers the whole song;
+    _scatter_voices then shifts each column to its onset and truncates
+    it at its lifetime (the −80 dB point, matching the reference's
+    is_silent retirement).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import voice_bank as vb
+
+    n = len(midis)
+    t_voice = -(-int(lens.max()) // t_tile) * t_tile
+    with jax.default_device(mc._cpu_device()):
+        params, _ = vb.make_kernel_params(
+            np.asarray(midis, dtype=np.float64),
+            np.asarray(velocities, dtype=np.float64), sr,
+            onsets=np.zeros(n), releases=rel_local)
+    params_np = np.asarray(params)
+    voices = vb.render_voice_bank(
+        jnp.asarray(params), t_voice, interpret=interpret,
+        events=vb._has_events(params_np),
+        min_release=vb._min_release(params_np),
+        steady=vb.steady_limits(params_np))
+    onset_arr = jnp.asarray(np.asarray(onsets).astype(np.int32))
+    len_arr = jnp.asarray(np.asarray(lens).astype(np.int32))
+    return _scatter_voices(voices[:, :n], onset_arr, len_arr, t_total,
+                           t_voice)
 
 
 def render_events_parallel(midis, velocities, onsets, releases, seconds,
@@ -234,9 +296,12 @@ def render_events_parallel(midis, velocities, onsets, releases, seconds,
 
     Semantically matches render_events(warm_seconds=same) within the
     fast path's parity gates; segment boundaries carry only the chain's
-    own warm-up residual (gated in tests/test_fast_events.py). Voices
-    observe the engine's 10 s voice timeout (never-damped notes are
-    faded out at VOICE_TIMEOUT_S, engine.rs voice retirement).
+    own warm-up residual (gated in tests/test_fast_events.py). Voice
+    retirement follows the reference's is_silent rule (voice.rs:181-188,
+    see _voice_lifetimes): each voice renders to its −80 dB point —
+    natural decay if never damped, damper decay (capped 10 s) after
+    release — so the only divergence from the serial path, which never
+    truncates, is below the −80 dB silence threshold.
     """
     import jax
     import jax.numpy as jnp
@@ -261,36 +326,21 @@ def render_events_parallel(midis, velocities, onsets, releases, seconds,
     releases[~np.isfinite(releases)] = vb.NEVER
 
     # ── 1. voices in instance-local time ─────────────────────────────
-    rel_local = releases - onsets
-    timeout = VOICE_TIMEOUT_S * sr
-    rel_local = np.minimum(rel_local, timeout)
-    lens = np.minimum(t_total - onsets, timeout).astype(np.int64)
-    t_voice = -(-int(lens.max()) // t_tile) * t_tile
+    rel_local = np.where(releases >= vb.NEVER, vb.NEVER,
+                         releases - onsets)
+    lens = _voice_lifetimes(midis, onsets, releases, sr, t_total)
 
     with jax.default_device(mc._cpu_device()):
         mc.pack_consts(sr)
-        params, _ = vb.make_kernel_params(
-            np.asarray(midis, dtype=np.float64),
-            np.asarray(velocities, dtype=np.float64), sr,
-            onsets=np.zeros(n), releases=rel_local)
         ctrl1 = mc.make_controls(sr, 1, volume=volume, depth=depth,
                                  character=character)
         ctrl = mc.make_controls(sr, n_seg, volume=volume, depth=depth,
                                 character=character)
         state = mc.init_state(sr, n_seg)
 
-    params_np = np.asarray(params)
-    voices = vb.render_voice_bank(
-        jnp.asarray(params), t_voice, interpret=interpret,
-        events=vb._has_events(params_np),
-        min_release=vb._min_release(params_np),
-        steady=vb.steady_limits(params_np))
-
     # shift-and-sum on device: song[o_i + t] += voice_i[t]
-    onset_arr = jnp.asarray(onsets.astype(np.int32))
-    len_arr = jnp.asarray(lens.astype(np.int32))
-    audio = _scatter_voices(voices[:, :n], onset_arr, len_arr, t_total,
-                            t_voice)
+    audio = _song_voices(midis, velocities, onsets, rel_local, lens,
+                         t_total, sr, interpret, t_tile)
 
     # ── 2. tremolo pre-roll, captured at segment starts ──────────────
     rows, caps = mc.trem_preroll(sr, ctrl1, n_seg, seg_len,
@@ -313,8 +363,15 @@ def _scatter_voices(voices, onset_arr, len_arr, t_total, t_voice):
     import jax
     import jax.numpy as jnp
 
+    # Leading zeros make start = t_total − onset index the voice's t=0;
+    # TRAILING zeros keep every slice in bounds: the max start is
+    # t_total (onset 0), so stacked must be ≥ 2·t_total long — without
+    # the tail pad, any onset < t_total − t_voice made dynamic_slice
+    # CLAMP the start and the voice contributed pure silence.
     pad = jnp.zeros((t_total, voices.shape[1]), jnp.float32)
-    stacked = jnp.concatenate([pad, voices], axis=0)  # (t_total+t_voice, n)
+    tail = jnp.zeros((max(t_total - t_voice, 0), voices.shape[1]),
+                     jnp.float32)
+    stacked = jnp.concatenate([pad, voices, tail], axis=0)
 
     def body(acc, iv):
         col, onset, ln = iv

@@ -483,8 +483,12 @@ def _has_events(params) -> bool:
     if params.shape[0] <= ROW_EVT:
         return False
     evt = np.asarray(params[ROW_EVT, :2])
+    # Compare in f32: NEVER is not f32-representable (stored sentinel is
+    # 999999995904), and a Python-float comparison promotes to f64 under
+    # NumPy<2, which would classify every stored sentinel as "has a
+    # release" and permanently force the slower events kernel.
     return bool((evt[EVT_ONSET_F] > 0).any()
-                or (evt[EVT_RELEASE_F] < NEVER).any())
+                or (evt[EVT_RELEASE_F] < np.float32(NEVER)).any())
 
 
 def _min_release(params) -> float:
@@ -571,9 +575,13 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
     t_tile = max(16, min(T_TILE, budget // (lanes * 4) // 16 * 16))
     if exact_state:
         # The grid renders n_tiles·t_tile samples; a CARRIED state must
-        # correspond to num_samples exactly, so the tile must divide it
-        # (halving keeps tiles powers of two, which keeps the hoisted
-        # renorm on the global RENORM_INTERVAL grid for any tile size).
+        # correspond to num_samples exactly, so the tile must divide it.
+        # Round down to a power of two FIRST: the VMEM-budget tile above
+        # is only a multiple of 16 (e.g. 400 at 640 lanes), and halving
+        # a non-power-of-two breaks the kernel's t_tile % 16 contract.
+        # Powers of two also keep the hoisted renorm on the global
+        # RENORM_INTERVAL grid for any tile size.
+        t_tile = 1 << (int(t_tile).bit_length() - 1)
         while t_tile > 16 and num_samples % t_tile:
             t_tile //= 2
         assert num_samples % t_tile == 0, (

@@ -165,6 +165,86 @@ def test_block_stream_exact_for_non_tile_multiple_blocks():
     np.testing.assert_array_equal(whole, np.concatenate(blocks, axis=0))
 
 
+def test_scatter_voices_long_song_in_bounds():
+    """Regression (advisor, round 3): dynamic_slice starts clamped
+    whenever onset < t_total − t_voice, so every early note of a song
+    longer than the voice window contributed pure silence. Pure-NumPy
+    shift-and-sum oracle across onsets on both sides of the old clamp
+    boundary."""
+    rng = np.random.default_rng(0)
+    t_total, t_voice, n = 4096, 512, 5
+    voices = rng.standard_normal((t_voice, n)).astype(np.float32)
+    onsets = np.array([0, 16, 1024, 3000, 3904], dtype=np.int32)
+    lens = np.array([512, 400, 512, 512, 512], dtype=np.int32)
+    got = np.asarray(fast._scatter_voices(
+        jnp.asarray(voices), jnp.asarray(onsets), jnp.asarray(lens),
+        t_total, t_voice))[:, 0]
+    want = np.zeros(t_total, dtype=np.float64)
+    for i in range(n):
+        ln = min(int(lens[i]), t_voice, t_total - int(onsets[i]))
+        want[onsets[i]:onsets[i] + ln] += voices[:ln, i].astype(np.float64)
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-4)
+    # the early (onset < t_total - t_voice) notes actually sound
+    assert np.abs(got[:512]).max() > 0.1
+
+
+def test_voice_lifetimes_reference_semantics():
+    """Retirement is release-relative (voice.rs:183-185), not
+    onset-relative: released voices render their damper tail, never-
+    released voices ring to the natural −80 dB decay point, top-5 keys
+    ignore the damper entirely."""
+    sr = 44100.0
+    t_total = int(60 * sr)
+    NEVER = voice_bank.NEVER
+    midis = np.array([60.0, 60.0, 36.0, 95.0, 95.0])
+    onsets = np.zeros(5)
+    releases = np.array([11.0 * sr, NEVER, NEVER, 11.0 * sr, NEVER])
+    lens = fast._voice_lifetimes(midis, onsets, releases, sr, t_total)
+    # released at 11 s: lives PAST the old 10 s onset-relative cut, and
+    # past its release (the damper tail renders), but not much past
+    assert 11.0 * sr < lens[0] < 12.5 * sr
+    # never released, middle C: natural decay 0.005·f^1.22 ≈ 4.4 dB/s →
+    # −80 dB around 18 s; no 10 s retirement
+    assert 10.0 * sr < lens[1] < 20.0 * sr
+    # never released, low note: 3 dB/s floor → ~26.8 s
+    assert 25.0 * sr < lens[2] < 28.0 * sr
+    # undamped top key (midi ≥ 92): a release changes nothing
+    assert lens[3] == lens[4]
+    assert (lens <= t_total).all()
+
+
+def test_song_voices_long_song_matches_shifted_single_renders():
+    """Voice + scatter stage of the time-parallel renderer at a song
+    length ≫ the voice window (the shape the round-3 advisor showed
+    silenced early notes). Oracle: the same kernel render shifted and
+    truncated in NumPy."""
+    sr = 8000.0
+    t_total = int(13.0 * sr)
+    midis = np.array([60.0, 64.0])
+    vels = np.array([0.9, 0.7])
+    onsets = np.array([0.0, np.round(11.5 * sr / 16) * 16])
+    releases = np.array([0.5 * sr, 12.0 * sr])
+    rel_local = releases - onsets
+    lens = fast._voice_lifetimes(midis, onsets, releases, sr, t_total)
+    t_tile = 32
+    audio = np.asarray(fast._song_voices(
+        midis, vels, onsets, rel_local, lens, t_total, sr,
+        interpret=True, t_tile=t_tile))[:, 0]
+    t_voice = -(-int(lens.max()) // t_tile) * t_tile
+    params, _ = voice_bank.make_kernel_params(
+        midis, vels, sr, onsets=np.zeros(2), releases=rel_local)
+    v = np.asarray(voice_bank.render_voice_bank(params, t_voice, True,
+                                                events=True))[:, :2]
+    want = np.zeros(t_total, dtype=np.float64)
+    for i in range(2):
+        o = int(onsets[i])
+        ln = min(int(lens[i]), t_total - o)
+        want[o:o + ln] += v[:ln, i].astype(np.float64)
+    np.testing.assert_allclose(audio, want.astype(np.float32), atol=2e-6)
+    # the early note sounds (the old bug rendered it as silence)
+    assert np.abs(audio[:int(0.5 * sr)]).max() > 1e-4
+
+
 @pytest.mark.slow
 def test_render_events_parallel_matches_serial():
     """Time-parallel (segmented) song render vs the serial block-streamed
