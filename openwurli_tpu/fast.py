@@ -271,7 +271,7 @@ def _song_voices(midis, velocities, onsets, rel_local, lens, t_total, sr,
 
 def render_events_parallel(midis, velocities, onsets, releases, seconds,
                            sample_rate=44100.0, volume=0.5, depth=0.5,
-                           character=0.0, segments=64, warm_seconds=1.0,
+                           character=0.0, segments=128, warm_seconds=1.0,
                            interpret=False, t_tile=None):
     """Event-scheduled single-song render, TIME-PARALLEL → (T,) f32.
 

@@ -1,0 +1,287 @@
+"""FastEngine — interactive engine on the fused Pallas kernels.
+
+The f64 `engine.Engine` is the accuracy reference but its scan chain
+takes ~6 min to compile on the tunneled device, so "play a note on the
+TPU interactively" had no practical route. FastEngine is the online
+(incremental) form of fast.render_events: the same event-capable voice
+kernel + mono-chain kernel, but driven by a live note_on/note_off/
+set_sustain API with state carried block to block. Both of its kernels
+compile with SHAPE-STABLE keys (fixed 128-lane bank, fixed internal
+block, steady/min_release pinned), so the whole engine compiles once —
+first-note latency is one voice-kernel + one chain-kernel compile
+(~20-40 s on the tunnel), not a per-event recompile.
+
+Semantics vs engine.Engine (same trade-offs as fast.render_events, the
+batch form — parity gates in tests/test_fast_events.py):
+  * events quantize to the internal block grid (BLOCK samples ≈ 12 ms
+    at 44.1 kHz; the reference plugin splits sub-blocks sample-
+    accurately, plugin lib.rs:128-153) and then to the 16-sample jitter
+    grid inside the kernel;
+  * controls (volume/tremolo depth/speaker character) are static per
+    block — no 5 ms per-sample smoothing ramps;
+  * voices are append-per-note-instance over a 128-lane bank with
+    oldest-retired-lane reuse instead of 64-slot stealing+crossfade;
+  * the chain runs in f32 deviation form (−40 dB full-chain relative /
+    −53 dB at fixed tremolo trajectory, tests/test_mono_chain.py).
+
+Bit-exactness: with the same schedule (events on block boundaries) a
+FastEngine session produces IDENTICAL audio to fast.render_events —
+gated in tests/test_fast_engine.py. This holds because pre-onset lanes
+are frozen at note-on state in the kernel, so re-initialising a lane at
+its (later) note-on equals having scheduled it from t=0.
+
+Reference surface: WurliEngine engine.rs:154-675 (note_on/note_off/
+set_sustain/setters/render/reset/warm_up).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openwurli_tpu.kernels import mono_chain as mc
+from openwurli_tpu.kernels import voice_bank as vb
+
+LANES = 128
+BLOCK = 1024          # internal render block (multiple of mc tile + 16)
+WARM_UP_S = 0.6
+
+
+class FastEngine:
+    """Interactive fused-kernel engine. All device work happens in
+    `render`; MIDI/control calls are host-side bookkeeping only."""
+
+    def __init__(self, sample_rate: float = 44100.0, volume: float = 0.5,
+                 tremolo_depth: float = 0.5, speaker_character: float = 0.0,
+                 interpret: bool = False, t_tile: int | None = None):
+        import jax
+
+        self.sample_rate = float(sample_rate)
+        self.interpret = bool(interpret)
+        self.t_tile = int(t_tile or mc.T_TILE)
+        assert BLOCK % self.t_tile == 0 or self.t_tile % BLOCK == 0
+        self.block = max(BLOCK, self.t_tile)
+        self._volume = float(volume)
+        self._depth = float(tremolo_depth)
+        self._char = float(speaker_character)
+        self._ctrl_dirty = True
+        self._ctrl = None
+
+        # host-side schedule (instance-per-note-on, lane-reusing).
+        # FIXED-length arrays + a used-lane count: the packing math and
+        # both kernels then keep one compiled shape for the whole
+        # session (a growing schedule recompiled the eager packing ops
+        # on every note count — ~30 s per note-on over the tunnel).
+        self._midis = np.full(LANES, 60.0)
+        self._vels = np.zeros(LANES)
+        self._onsets = np.zeros(LANES)
+        self._releases = np.full(LANES, np.inf)
+        self._n_used = 0
+        self._ringing: dict[int, int] = {}   # note → lane
+        self._pending: set[int] = set()      # lanes held by the pedal
+        self._sustain = False
+        self._params_dirty = True
+        self._params = None                  # device params (or None)
+        self._new_lanes: list[int] = []      # lanes needing state re-init
+
+        self._horizon = 0                    # samples rendered internally
+        self._surplus = np.zeros(0, dtype=np.float32)
+
+        with jax.default_device(mc._cpu_device()):
+            mc.pack_consts(self.sample_rate)
+            self._chain_state = jax.numpy.asarray(
+                mc.init_state(self.sample_rate, 1))
+        self._vstate = None
+
+    # ── MIDI / parameter surface (engine.rs:154-675) ─────────────────
+
+    def note_on(self, note: int, velocity: float):
+        """velocity in [0, 1] (hosts pass midi_vel/127)."""
+        t = float(self._horizon)
+        old = self._ringing.get(int(note))
+        if old is not None and not np.isfinite(self._releases[old]):
+            self._releases[old] = t          # damp the re-struck voice
+            self._pending.discard(old)
+        lane = self._alloc_lane()
+        self._midis[lane] = float(note)
+        self._vels[lane] = float(velocity)
+        self._onsets[lane] = t
+        self._releases[lane] = np.inf
+        self._ringing[int(note)] = lane
+        self._new_lanes.append(lane)
+        self._params_dirty = True
+
+    def note_off(self, note: int):
+        lane = self._ringing.get(int(note))
+        if lane is None or np.isfinite(self._releases[lane]):
+            return
+        if self._sustain:
+            self._pending.add(lane)
+        else:
+            self._releases[lane] = float(self._horizon)
+            self._params_dirty = True
+
+    def set_sustain(self, held: bool):
+        held = bool(held)
+        if self._sustain and not held:
+            t = float(self._horizon)
+            for lane in self._pending:
+                self._releases[lane] = t
+            self._pending.clear()
+            self._params_dirty = True
+        self._sustain = held
+
+    def set_volume(self, v: float):
+        self._volume = float(v)
+        self._ctrl_dirty = True
+
+    def set_tremolo_depth(self, d: float):
+        self._depth = float(d)
+        self._ctrl_dirty = True
+
+    def set_speaker_character(self, c: float):
+        self._char = float(c)
+        self._ctrl_dirty = True
+
+    def active_voice_count(self):
+        if self._n_used == 0:
+            return 0
+        rel = self._releases[:self._n_used]
+        ring = ~np.isfinite(rel)
+        # released voices count until their damper tail has rendered
+        tail = np.isfinite(rel) & (rel + 2.0 * self.sample_rate
+                                   > self._horizon)
+        return int((ring | tail).sum())
+
+    def is_sustain_held(self):
+        return self._sustain
+
+    # ── rendering ─────────────────────────────────────────────────────
+
+    def warm_up(self):
+        """Settle the chain on silence (engine.rs warm_up, 0.6 s)."""
+        import jax.numpy as jnp
+
+        t_warm = -(-int(WARM_UP_S * self.sample_rate)
+                   // self.t_tile) * self.t_tile
+        silence = jnp.zeros((t_warm, 1), jnp.float32)
+        _, self._chain_state = mc.render_tpu(
+            self.sample_rate, self._controls(), self._chain_state,
+            silence, interpret=self.interpret, t_tile=self.t_tile)
+
+    def render(self, num_samples: int) -> np.ndarray:
+        """Render the next num_samples mono f32 samples."""
+        out = []
+        n = int(num_samples)
+        while n > 0:
+            if self._surplus.size:
+                take = min(n, self._surplus.size)
+                out.append(self._surplus[:take])
+                self._surplus = self._surplus[take:]
+                n -= take
+                continue
+            self._surplus = self._render_block()
+        return (np.concatenate(out) if out
+                else np.zeros(0, dtype=np.float32))
+
+    def reset(self):
+        import jax
+
+        self._midis = np.full(LANES, 60.0)
+        self._vels = np.zeros(LANES)
+        self._onsets = np.zeros(LANES)
+        self._releases = np.full(LANES, np.inf)
+        self._n_used = 0
+        self._ringing.clear()
+        self._pending.clear()
+        self._params = None
+        self._params_dirty = True
+        self._new_lanes = []
+        self._vstate = None
+        self._horizon = 0
+        self._surplus = np.zeros(0, dtype=np.float32)
+        with jax.default_device(mc._cpu_device()):
+            self._chain_state = jax.numpy.asarray(
+                mc.init_state(self.sample_rate, 1))
+        self.warm_up()
+
+    # ── internals ─────────────────────────────────────────────────────
+    # Events land at the first un-rendered sample (self._horizon):
+    # surplus audio already handed to render() was rendered before the
+    # event arrived, so the event quantizes to the next block boundary.
+
+    def _alloc_lane(self) -> int:
+        if self._n_used < LANES:
+            self._n_used += 1
+            return self._n_used - 1
+        # lane reuse: retire the lane whose voice ended longest ago
+        # (release + 2 s damper tail, or natural silence for old onsets)
+        rel = np.where(np.isfinite(self._releases), self._releases,
+                       self._onsets + 30.0 * self.sample_rate)
+        lane = int(np.argmin(rel))
+        note = int(self._midis[lane])
+        if self._ringing.get(note) == lane:
+            del self._ringing[note]
+        self._pending.discard(lane)
+        return lane
+
+    def _controls(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self._ctrl_dirty or self._ctrl is None:
+            with jax.default_device(mc._cpu_device()):
+                self._ctrl = jnp.asarray(mc.make_controls(
+                    self.sample_rate, 1, volume=self._volume,
+                    depth=self._depth, character=self._char))
+            self._ctrl_dirty = False
+        return self._ctrl
+
+    def _repack(self):
+        import jax
+        import jax.numpy as jnp
+
+        with jax.default_device(mc._cpu_device()):
+            params, _ = vb.make_kernel_params(
+                self._midis, self._vels, self.sample_rate,
+                onsets=self._onsets, releases=self._releases,
+                lanes=LANES, n_active=self._n_used)
+        params_np = np.asarray(params)
+        fresh = vb.init_bank_state(params_np)
+        if self._vstate is None:
+            vstate = fresh
+        else:
+            vstate = np.array(self._vstate)  # host copy (asarray view
+            # of a jax buffer is read-only)
+            for lane in self._new_lanes:
+                # a lane re-initialised at its (future) onset is
+                # bit-identical to one scheduled from t=0: the kernel
+                # freezes pre-onset lanes at note-on state.
+                vstate[:, lane] = fresh[:, lane]
+        self._new_lanes = []
+        self._params = jnp.asarray(params_np)
+        self._vstate = jnp.asarray(vstate)
+        self._params_dirty = False
+
+    def _render_block(self) -> np.ndarray:
+        import jax.numpy as jnp
+
+        t = self.block
+        if self._n_used == 0:
+            audio = jnp.zeros((t, 1), jnp.float32)
+        else:
+            if self._params_dirty:
+                self._repack()
+            # steady=None and min_release=0.0 keep the kernel's compile
+            # key fixed across note events (both are static trace args);
+            # the always-on onset/noise/damper arithmetic they skip is
+            # noise at 128 lanes.
+            voices, self._vstate = vb.render_voice_bank(
+                self._params, t, interpret=self.interpret,
+                steady=None, state=self._vstate, n0=self._horizon,
+                return_state=True, events=True, min_release=0.0)
+            audio = voices.sum(-1, keepdims=True)
+        out, self._chain_state = mc.render_tpu(
+            self.sample_rate, self._controls(), self._chain_state,
+            audio, interpret=self.interpret, t_tile=self.t_tile)
+        self._horizon += t
+        return np.asarray(out[:, 0])

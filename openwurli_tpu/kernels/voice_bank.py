@@ -78,23 +78,47 @@ def _lcg(st):
     return st * jnp.uint32(1664525) + jnp.uint32(1013904223)
 
 
+# Trace-time knockout level for kernel cost attribution (tools/vb_probe
+# only — production paths leave this at 0). 1: skip the batched pickup
+# (stage passthrough). 2: also skip the per-sub-step mono staging writes
+# (mono folded into a register, written once per group). 3: also skip
+# the mode reduce + onset/noise (out = s + c; pure rotation/env floor).
+# 4: full pipeline but WITHOUT the onset/noise cached-row reads
+# (contrib = amplitude·s·env) — isolates the steady-row read cost.
+# 5: level 3 with every pl.when predicate pinned false (branches
+# present, never taken). 6: level 3 with the branches REMOVED from the
+# trace — separates Mosaic's branch-presence cost from taken-path cost.
+VB_KO = 0
+
+
 def _make_kernel(t_tile, steady, events, min_release):
     def _kernel(n0i_ref, n0f_ref, params_ref, state_in_ref, out_ref,
                 state_out_ref, s_ref, c_ref, env_ref, drift_ref,
                 nstate_ref, irng_ref, nf_ref, rota_ref, rotb_ref,
-                stage_ref):
+                stage_ref, onset8_ref, noise8_ref):
         return _kernel_body(t_tile, steady, events, min_release,
                             n0i_ref, n0f_ref, params_ref, state_in_ref,
                             out_ref, state_out_ref, s_ref, c_ref, env_ref,
                             drift_ref, nstate_ref, irng_ref, nf_ref,
-                            rota_ref, rotb_ref, stage_ref)
+                            rota_ref, rotb_ref, stage_ref, onset8_ref,
+                            noise8_ref)
     return _kernel
+
+
+# LCG composition constants: s_k = LCG_A_POW[k]·s + LCG_C_ACC[k] (mod
+# 2^32) equals k sequential _lcg draws — lets the jitter block compute
+# all NUM_MODES draws as ONE (8, V) op instead of 7 serial (1, V) ops.
+_LCG_A_POW = [1]
+_LCG_C_ACC = [0]
+for _k in range(8):
+    _LCG_A_POW.append((_LCG_A_POW[-1] * 1664525) & 0xFFFFFFFF)
+    _LCG_C_ACC.append((_LCG_C_ACC[-1] * 1664525 + 1013904223) & 0xFFFFFFFF)
 
 
 def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                  params_ref, state_in_ref, out_ref, state_out_ref, s_ref,
                  c_ref, env_ref, drift_ref, nstate_ref, irng_ref, nf_ref,
-                 rota_ref, rotb_ref, stage_ref):
+                 rota_ref, rotb_ref, stage_ref, onset8_ref, noise8_ref):
     """One grid step renders t_tile samples for all lanes voices.
 
     steady: None, or (onset_done, noise_done) global sample counts after
@@ -131,6 +155,13 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
         nstate_ref[:] = state_in_ref[_N0:_N0 + 8]
         irng_ref[:] = pltpu.bitcast(state_in_ref[_I0:_I0 + 8], jnp.int32)
         nf_ref[0, 0] = n0f_ref[0]
+        # Steady-state values: the warm-phase group branches overwrite
+        # these while any onset ramp / noise burst is live; past the
+        # steady horizon the rows hold their exact final values (onset
+        # ramps end at exactly 1.0, noise bursts at exactly 0.0), so
+        # carried-state renders starting past the horizon are exact.
+        onset8_ref[:] = jnp.ones_like(onset8_ref)
+        noise8_ref[:] = jnp.zeros_like(noise8_ref)
 
     cosm1 = params_ref[ROW_COSM1]      # cos(θ) − 1
     sin_inc = params_ref[ROW_SIN]
@@ -182,6 +213,20 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
 
     base_n = tile * t_tile
 
+    # Loop-invariant (8, V) rows for the batched jitter LCG: row m holds
+    # the m+1-step composition constants (built from a sublane iota —
+    # Pallas kernels can't take array literals), plus the mode mask that
+    # keeps drift pad rows zero. Hoisted out of the time loop by Mosaic.
+    lanes_v = cosm1.shape[-1]
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, lanes_v), 0)
+    lcg_a8 = jnp.full((SUBLANES, lanes_v), jnp.uint32(0))
+    lcg_c8 = jnp.full((SUBLANES, lanes_v), jnp.uint32(0))
+    for _m in range(NUM_MODES):
+        sel = sub_i == _m
+        lcg_a8 = jnp.where(sel, jnp.uint32(_LCG_A_POW[_m + 1]), lcg_a8)
+        lcg_c8 = jnp.where(sel, jnp.uint32(_LCG_C_ACC[_m + 1]), lcg_c8)
+    mode_mask = sub_i < NUM_MODES
+
     # Time loop structure: UNROLL consecutive samples per fori iteration.
     # The reed recurrence (rotation/env/noise) runs per sub-step, but the
     # pickup — tanh soft-sat, the charge-update divide, and the output
@@ -195,6 +240,9 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
     # are multiples of 16, so its scalar predicate is hoisted per group.
     UNROLL = 8
     assert t_tile % JITTER_SUBSAMPLE == 0, t_tile
+    if VB_KO and events:
+        raise ValueError("VB_KO attribution variants support the plain "
+                         "path only")
 
     knee = jnp.float32(pickup_mod.PICKUP_KNEE_Y)
     rng_sat = jnp.float32(pickup_mod.PICKUP_MAX_Y
@@ -212,104 +260,87 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
         if events:
             active0 = (n_f0 - onset_f) >= 0.0
 
-        @pl.when((n_g & (JITTER_SUBSAMPLE - 1)) == 0)
+        # (n_g & 15) is always 0 or 8 here, so comparing against 1 pins
+        # the predicate false for the ko=5 branch-cost probe; ko=6 drops
+        # the branch from the trace entirely (guard after the def).
         def _jitter():
-            st = pltpu.bitcast(irng_ref[0:1, :], jnp.uint32)
-            drift = drift_ref[:]
-            rows = []
             # Exactly NUM_MODES draws per update — the LCG stream must
             # advance by 7, matching the reference (reed.rs:267-271).
-            for m in range(NUM_MODES):
-                st = _lcg(st)
-                # u32→f32 via i32: Mosaic's direct unsigned→float lowering
-                # recurses; after >>1 the top bit is clear so i32 is exact.
-                u = (st >> jnp.uint32(1)).astype(jnp.int32).astype(
-                    jnp.float32) * jnp.float32(2.0 / 4294967295.0)
-                noise = (u * 2.0 - 1.0) * jnp.float32(1.7320508080)
-                rows.append(revert * drift[m:m + 1, :] + diffusion * noise)
-            rows.append(drift[NUM_MODES:, :])  # pad rows stay zero
-            new_drift = jnp.concatenate(rows, axis=0)
+            # All 7 draws come out of ONE (8, V) composed-LCG op (row m
+            # holds draw m+1): the old 7-serial-(1, V)-draw form cost a
+            # full vreg op per mode per arithmetic step.
+            st = pltpu.bitcast(irng_ref[0:1, :], jnp.uint32)
+            drift = drift_ref[:]
+            sk = lcg_a8 * st + lcg_c8          # (8, V) u32, wraps mod 2^32
+            # u32→f32 via i32: Mosaic's direct unsigned→float lowering
+            # recurses; after >>1 the top bit is clear so i32 is exact.
+            u = (sk >> jnp.uint32(1)).astype(jnp.int32).astype(
+                jnp.float32) * jnp.float32(2.0 / 4294967295.0)
+            noise = (u * 2.0 - 1.0) * jnp.float32(1.7320508080)
+            new_drift = jnp.where(mode_mask,
+                                  revert * drift + diffusion * noise,
+                                  drift)      # pad rows stay zero
+            st_out = pltpu.bitcast(sk[NUM_MODES - 1:NUM_MODES, :],
+                                   jnp.int32)
             if events:
                 # Pre-onset voices' LCG streams must not advance: the
                 # stream starts at note-on in the reference.
                 drift_ref[:] = jnp.where(active0, new_drift, drift)
-                irng_ref[0:1, :] = jnp.where(
-                    active0, pltpu.bitcast(st, jnp.int32), irng_ref[0:1, :])
+                irng_ref[0:1, :] = jnp.where(active0, st_out,
+                                             irng_ref[0:1, :])
             else:
                 drift_ref[:] = new_drift
-                irng_ref[0:1, :] = pltpu.bitcast(st, jnp.int32)
+                irng_ref[0:1, :] = st_out
             a1, b1 = _rot_ab(drift_ref[:])
             rota_ref[:] = a1
             rotb_ref[:] = b1
+
+        if VB_KO != 6:
+            pl.when((n_g & (JITTER_SUBSAMPLE - 1))
+                    == jnp.int32(VB_KO == 5))(_jitter)
 
         # Rotation coefficients are constant within the group (jitter
         # only fires at sub-step 0, above).
         a = rota_ref[:]
         b = rotb_ref[:]
 
-        if not events:
-            # s/c/env ride in registers across the group — one VMEM
-            # load/store per group instead of per sample. The events
-            # path keeps per-step ref round-trips: the damper pl.when
-            # mutates env_ref mid-group.
-            s = s_ref[:]
-            c = c_ref[:]
-            env = env_ref[:]
+        # s/c/env ride in registers across the group — one VMEM
+        # load/store per group instead of per sample (both paths; the
+        # events damper runs in branchless register form below).
+        s = s_ref[:]
+        c = c_ref[:]
+        env = env_ref[:]
 
-        for j in range(UNROLL):
-            n_f = n_f0 + jnp.float32(j)
-            if events:
-                n_loc = n_f - onset_f            # (1, V), <0 before onset
-                active = n_loc >= 0.0
-            else:
-                n_loc = n_f
-                active = None
-
-            def compute_onset(n_loc=n_loc):
+        # ── warm-phase group branches: onset ramp + attack noise ────
+        # Both cache full (8, V) scratch blocks consumed by the batched
+        # pickup below. In steady state neither branch fires (their
+        # cached rows hold exact final values: onset 1.0, noise 0.0),
+        # so the sub-step loop is pure rotation arithmetic — no
+        # branches, no scalar-row reads, no transcendentals. The +64
+        # steady margin covers the group predicate's n_f0..n_f0+7 span.
+        def _onset_group():
+            for j in range(UNROLL):
+                n_loc = (n_f0 + jnp.float32(j) - onset_f) if events \
+                    else n_f0 + jnp.float32(j)
                 cosine = 0.5 * (1.0 - jnp.cos(n_loc * onset_inc))
                 shaped = jnp.where(
                     onset_exp <= 1.001, cosine,
                     jnp.where(onset_exp >= 1.999, cosine * cosine,
                               jnp.power(jnp.maximum(cosine, 1e-30),
                                         onset_exp)))
-                return jnp.where(n_loc < onset_samps, shaped, 1.0)
+                onset8_ref[j:j + 1, :] = jnp.where(
+                    n_loc < onset_samps, shaped, 1.0)
 
-            if steady is None:
-                onset = compute_onset()
-            else:
-                @pl.when(n_f < jnp.float32(steady[0]))
-                def _onset(compute_onset=compute_onset):
-                    nstate_ref[3:4, :] = compute_onset()
-
-                onset = nstate_ref[3:4, :]
-
-            if events:
-                s = s_ref[:]
-                c = c_ref[:]
-
-                # 3-phase progressive damper (reed.rs:191-216): release
-                # count t starts at 1 on the release sample; exponential
-                # ramp-in of the damping rate over ramp_f samples, then
-                # the constant per-mode multiplier (1−mult deviation).
-                @pl.when(n_f >= jnp.float32(min_release))
-                def _damper(n_f=n_f):
-                    t_rel = n_f - release_f + 1.0
-                    damp_on = t_rel >= 1.0
-                    in_ramp = jnp.logical_and(damp_on, t_rel <= ramp_f)
-                    post = jnp.logical_and(damp_on, t_rel > ramp_f)
-                    inst = drate * (t_rel / jnp.maximum(ramp_f, 1.0))
-                    env0 = env_ref[:]
-                    env1 = jnp.where(in_ramp, env0 * jnp.exp(-inst), env0)
-                    env_ref[:] = jnp.where(post, env1 - env1 * dm1, env1)
-
-                env = env_ref[:]
-
-            contrib = amplitude * s * onset * env
-            mono = jnp.sum(contrib, axis=0, keepdims=True)  # (1, V)
-
-            # Attack noise: LCG → bandpass biquad (DF-II-T) → amp env,
-            # while local index < duration; raised-cosine 16-sample fade.
-            def compute_noise(n_loc=n_loc, active=active):
+        # Attack noise: LCG → bandpass biquad (DF-II-T) → amp env,
+        # while local index < duration; raised-cosine 16-sample fade.
+        def _noise_group():
+            for j in range(UNROLL):
+                n_f = n_f0 + jnp.float32(j)
+                if events:
+                    n_loc = n_f - onset_f        # (1, V), <0 before onset
+                    active = n_loc >= 0.0
+                else:
+                    n_loc = n_f
                 nst = pltpu.bitcast(irng_ref[1:2, :], jnp.uint32)
                 nst = _lcg(nst)
                 white = nst.astype(jnp.int32).astype(jnp.float32) \
@@ -331,26 +362,59 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                 fade_t = jnp.minimum(n_loc / NOISE_FADE_IN, 1.0)
                 fade = 0.5 * (1.0 - jnp.cos(jnp.float32(np.pi) * fade_t))
                 fade = jnp.where(n_loc < NOISE_FADE_IN, fade, 1.0)
-                noise_out = jnp.where(nact, namp * fade * filtered, 0.0)
+                noise8_ref[j:j + 1, :] = jnp.where(
+                    nact, namp * fade * filtered, 0.0)
                 nstate_ref[0:1, :] = jnp.where(nact, namp * noise_decay,
                                                namp)
                 nstate_ref[1:2, :] = jnp.where(nact, z1_new, z1)
                 nstate_ref[2:3, :] = jnp.where(nact, z2_new, z2)
-                return noise_out
 
-            if steady is None:
-                mono = mono + compute_noise()
-            else:
-                @pl.when(n_f < jnp.float32(steady[1]))
-                def _noise(compute_noise=compute_noise):
-                    nstate_ref[4:5, :] = compute_noise()
+        if steady is None:
+            _onset_group()
+            _noise_group()
+        elif VB_KO != 6:
+            pl.when(n_f0 < jnp.float32(steady[0]) if VB_KO != 5
+                    else n_f0 < jnp.float32(-1.0))(_onset_group)
+            pl.when(n_f0 < jnp.float32(steady[1]) if VB_KO != 5
+                    else n_f0 < jnp.float32(-1.0))(_noise_group)
 
-                mono = mono + nstate_ref[4:5, :]
+        acc = jnp.zeros((1, a.shape[-1]), jnp.float32) if VB_KO == 2 \
+            else None
+        for j in range(UNROLL):
+            n_f = n_f0 + jnp.float32(j)
+            if events:
+                active = (n_f - onset_f) >= 0.0
 
-            # Stage the group's mono rows in scratch (static sublane-row
-            # stores) — a Python list + concat keeps all 8 values live on
-            # the Mosaic stack at once and blows the 16 MB VMEM budget.
-            stage_ref[j:j + 1, :] = mono
+                # 3-phase progressive damper (reed.rs:191-216): release
+                # count t starts at 1 on the release sample; exponential
+                # ramp-in of the damping rate over ramp_f samples, then
+                # the constant per-mode multiplier (1−mult deviation).
+                # Branchless register form: lane masks select the phase
+                # (for never-released lanes t_rel is hugely negative and
+                # exp overflows to inf — discarded by the select), which
+                # keeps env in registers across the whole group instead
+                # of a ref round-trip per sub-step under a pl.when.
+                t_rel = n_f - release_f + 1.0
+                in_ramp = jnp.logical_and(t_rel >= 1.0, t_rel <= ramp_f)
+                post = t_rel > ramp_f
+                inst = drate * (t_rel / jnp.maximum(ramp_f, 1.0))
+                env = jnp.where(in_ramp, env * jnp.exp(-inst), env)
+                env = jnp.where(post, env - env * dm1, env)
+
+            if VB_KO < 3:
+                # The onset ramp factors out of the mode sum ((1, V)
+                # broadcast), so the loop stages the RAW mode sum and
+                # the batched pickup applies onset8/noise8 afterwards.
+                mraw = jnp.sum(amplitude * s * env, axis=0,
+                               keepdims=True)  # (1, V)
+                if VB_KO == 2:
+                    acc = acc + mraw
+                else:
+                    # Stage the group's rows in scratch (static sublane-
+                    # row stores) — a Python list + concat keeps all 8
+                    # values live on the Mosaic stack at once and blows
+                    # the 16 MB VMEM budget.
+                    stage_ref[j:j + 1, :] = mraw
 
             # Rotation via deviation form: with a = (cos−1) − δ·sin and
             # b = sin + δ·(1 + (cos−1)), s' = s + s·a + c·b,
@@ -362,9 +426,9 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
 
             if events:
                 # Pre-onset voices stay frozen at their note-on state.
-                s_ref[:] = jnp.where(active, s_new, s)
-                c_ref[:] = jnp.where(active, c_new, c)
-                env_ref[:] = jnp.where(active, env - env * decaym1, env)
+                s = jnp.where(active, s_new, s)
+                c = jnp.where(active, c_new, c)
+                env = jnp.where(active, env - env * decaym1, env)
             else:
                 # Renorm runs OUTSIDE the sample loop at tile boundaries
                 # (below), so the hot path pays zero renorm ops. (A
@@ -374,14 +438,29 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                 s, c = s_new, c_new
                 env = env - env * decaym1
 
-        if not events:
-            s_ref[:] = s
-            c_ref[:] = c
-            env_ref[:] = env
+        s_ref[:] = s
+        c_ref[:] = c
+        env_ref[:] = env
+
+        if VB_KO >= 3:
+            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = s + c
+            return n_f0 + jnp.float32(UNROLL)
+        if VB_KO == 2:
+            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
+                jnp.broadcast_to(acc, (UNROLL, acc.shape[-1]))
+            return n_f0 + jnp.float32(UNROLL)
+        if VB_KO == 1:
+            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = stage_ref[:]
+            return n_f0 + jnp.float32(UNROLL)
 
         # Batched pickup: bilinear charge update with C1 soft saturation,
-        # elementwise math once on the whole (UNROLL, V) group.
-        mono8 = stage_ref[:]
+        # elementwise math once on the whole (UNROLL, V) group. The
+        # onset ramp and attack noise apply here as (8, V) blocks —
+        # mono = raw_mode_sum · onset + noise.
+        if VB_KO == 4:
+            mono8 = stage_ref[:]
+        else:
+            mono8 = stage_ref[:] * onset8_ref[:] + noise8_ref[:]
         y_raw = mono8 * ds
         abs_y = jnp.abs(y_raw)
         sat = knee + rng_sat * jnp.tanh((abs_y - knee) / rng_sat)
@@ -612,6 +691,8 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation a cache
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation b cache
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # pickup group stage
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # onset8 group cache
+            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise8 group cache
         ],
     )
     out, state_out = pl.pallas_call(
@@ -619,6 +700,12 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((total, lanes), jnp.float32),
                    jax.ShapeDtypeStruct((STATE_ROWS, lanes), jnp.float32)),
+        # state_in is read only at tile 0 and state_out written only at
+        # the last tile, so they can share one VMEM buffer — the 1.5 MB
+        # this frees at 8192 lanes is what lets the onset8/noise8 group
+        # caches fit the 16 MB budget. (Index 3 = `state`, counting the
+        # two scalar-prefetch operands.)
+        input_output_aliases={3: 1},
         interpret=interpret,
     )(n0i, n0f, params, state)
     return out[:num_samples], state_out
@@ -644,7 +731,7 @@ def damper_rows(midi_notes, sample_rate):
 
 def make_kernel_params(midi_notes, velocities, sample_rate,
                        mlp_enabled=False, lanes=None,
-                       onsets=None, releases=None):
+                       onsets=None, releases=None, n_active=None):
     """Pack per-voice note-on parameters into the kernel layout.
 
     midi_notes/velocities: up to `lanes` entries (padded with silent
@@ -652,11 +739,18 @@ def make_kernel_params(midi_notes, velocities, sample_rate,
     onsets: per-voice note-on sample indices (rounded to multiples of 16
     — the jitter subsample grid); releases: per-voice damper-start sample
     indices (np.inf / omitted = never; top-5 keys are never damped).
-    Returns (params (N_ROWS, 8, lanes) f32, n_active).
+    n_active: treat only the first n_active entries as real voices
+    (entries past it are ignored and padded with zeros) — lets callers
+    with a LIVE schedule (fast_engine) pass fixed-length arrays so the
+    eager packing math keeps one compiled shape per session instead of
+    one per note count. Returns (params (N_ROWS, 8, lanes) f32,
+    n_active).
     """
     m = np.asarray(midi_notes, dtype=np.float64)
     v = np.asarray(velocities, dtype=np.float64)
-    n_active = m.shape[0]
+    if n_active is None:
+        n_active = m.shape[0]
+    assert n_active <= m.shape[0]
     lanes = lanes or max(128, ((n_active + 127) // 128) * 128)
     assert n_active <= lanes
     return _make_kernel_params_inner(m, v, n_active, sample_rate,
@@ -672,14 +766,15 @@ def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
     state = voice.init_state(vparams, detuned, jnp.asarray(v), sample_rate,
                              voice.default_note_seed(jnp.asarray(m)))
 
-    def pad_modes(x):  # (G, 7) → (8, lanes)
+    def pad_modes(x):  # (G, 7) → (8, lanes); G may exceed n_active
         arr = np.zeros((SUBLANES, lanes), dtype=np.float32)
-        arr[:NUM_MODES, :n_active] = np.asarray(x, dtype=np.float32).T
+        arr[:NUM_MODES, :n_active] = \
+            np.asarray(x, dtype=np.float32).T[:, :n_active]
         return arr
 
     def pad_scalar(x, fill=0.0):
         arr = np.full(lanes, fill, dtype=np.float32)
-        arr[:n_active] = np.asarray(x, dtype=np.float32)
+        arr[:n_active] = np.asarray(x, dtype=np.float32)[..., :n_active]
         return arr
 
     rp = vparams.reed
@@ -697,8 +792,10 @@ def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
 
     # int RNG states: row 0 jitter (post-Box-Muller), row 1 noise (raw seed)
     rng0 = np.zeros((SUBLANES, lanes), dtype=np.uint32)
-    rng0[0, :n_active] = np.asarray(state.reed.jitter_state, dtype=np.uint32)
-    rng0[1, :n_active] = np.asarray(state.noise.rng_state, dtype=np.uint32)
+    rng0[0, :n_active] = np.asarray(state.reed.jitter_state,
+                                    dtype=np.uint32)[:n_active]
+    rng0[1, :n_active] = np.asarray(state.noise.rng_state,
+                                    dtype=np.uint32)[:n_active]
 
     nrow = np.zeros((SUBLANES, lanes), dtype=np.float32)
     nrow[0] = pad_scalar(np.asarray(state.noise.amplitude))
@@ -727,12 +824,12 @@ def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
     evt[EVT_RELEASE_F] = pad_scalar(rel, fill=NEVER)
     evt[EVT_RAMP] = pad_scalar(ramp, fill=1.0)
     oi = np.zeros(lanes, dtype=np.int32)
-    oi[:n_active] = on.astype(np.int64).astype(np.int32)
+    oi[:n_active] = on.astype(np.int64).astype(np.int32)[:n_active]
     evt[EVT_ONSET_I] = oi.view(np.float32)
     drate_rows = np.zeros((SUBLANES, lanes), dtype=np.float32)
-    drate_rows[:, :n_active] = rate8.astype(np.float32)
+    drate_rows[:, :n_active] = rate8.astype(np.float32)[:, :n_active]
     dm1_rows = np.zeros((SUBLANES, lanes), dtype=np.float32)
-    dm1_rows[:, :n_active] = dm1.astype(np.float32)
+    dm1_rows[:, :n_active] = dm1.astype(np.float32)[:, :n_active]
 
     params = np.stack([
         pad_modes(np.asarray(rp.cos_inc, dtype=np.float64) - 1.0),

@@ -133,13 +133,21 @@ def main(n_devices: int) -> None:
     # fused Pallas voice-bank + mono-chain kernels (interpret mode on the
     # virtual mesh) sharded over streams and gates sharded == unsharded.
     from openwurli_tpu import fast
+    from openwurli_tpu.kernels import mono_chain as mc
 
-    midis = np.linspace(40.0, 88.0, n_devices)[:, None]   # 1 note/stream
-    t_kernel = 64
+    # Production geometry, scaled to the driver budget: one full
+    # T_TILE=512 chain tile and 16 voices/stream → 128 lanes per device
+    # (the full kernel lane width). tests/test_fast_sharded.py extends
+    # this to 12 tiles / 0.77 s in the slow tier.
+    rng = np.random.default_rng(0)
+    midis = rng.uniform(40.0, 88.0, size=(n_devices, 16))
+    t_kernel = mc.T_TILE
     out_sh = np.asarray(fast.render_grid_sharded(
-        mesh, midis, 0.8, t_kernel / 44100.0, interpret=True, t_tile=32))
+        mesh, midis, 0.8, t_kernel / 44100.0, interpret=True,
+        t_tile=mc.T_TILE))
     out_1 = np.asarray(fast.render_grid(
-        midis, 0.8, t_kernel / 44100.0, interpret=True, t_tile=32))
+        midis, 0.8, t_kernel / 44100.0, interpret=True,
+        t_tile=mc.T_TILE))
     assert out_sh.shape == out_1.shape == (t_kernel, n_devices)
     assert np.isfinite(out_sh).all()
     assert len(np.unique(out_sh[-1, :])) == n_devices, \

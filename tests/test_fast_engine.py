@@ -1,0 +1,118 @@
+"""FastEngine — the interactive fused-kernel engine.
+
+The load-bearing gate: a live note_on/note_off/set_sustain session must
+produce BIT-IDENTICAL audio to fast.render_events given the same
+schedule (FastEngine is the online form of the same kernels — lane
+re-init at note-on equals scheduling from t=0 because the kernel
+freezes pre-onset lanes)."""
+
+import numpy as np
+import pytest
+
+from openwurli_tpu import fast
+from openwurli_tpu.fast_engine import FastEngine
+
+SR = 8000.0
+
+
+def _mk(interpret=True, **kw):
+    return FastEngine(SR, interpret=interpret, t_tile=32, **kw)
+
+
+def test_session_matches_render_events_bit_exact():
+    """Three notes started/stopped across blocks + a pedal hold, driven
+    live, against the batch renderer with the equivalent schedule."""
+    eng = _mk()
+    eng.warm_up()
+    blk = eng.block
+
+    out = []
+    eng.note_on(60, 0.9)
+    out.append(eng.render(blk))           # block 0
+    eng.note_on(64, 0.7)
+    eng.set_sustain(True)
+    out.append(eng.render(blk))           # block 1
+    eng.note_off(60)                      # held by the pedal
+    out.append(eng.render(blk))           # block 2
+    eng.set_sustain(False)                # releases 60 at block 3 start
+    eng.note_on(55, 0.8)
+    out.append(eng.render(2 * blk))       # blocks 3-4
+    eng.note_off(64)
+    eng.note_off(55)
+    out.append(eng.render(blk))           # block 5
+    got = np.concatenate(out)
+
+    midis = np.array([60.0, 64.0, 55.0])
+    vels = np.array([0.9, 0.7, 0.8])
+    onsets = np.array([0.0, 1.0 * blk, 3.0 * blk])
+    releases = np.array([3.0 * blk, 5.0 * blk, 5.0 * blk])
+    want = fast.render_events(midis, vels, onsets, releases,
+                              seconds=6 * blk / SR, sample_rate=SR,
+                              warm_seconds=0.6, block_seconds=blk / SR,
+                              interpret=True, t_tile=32)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_restrike_damps_old_instance():
+    """Re-striking a ringing note damps the old lane (engine.rs
+    note_on re-strike semantics) — the restruck render must not blow up
+    and the old instance's release is recorded."""
+    eng = _mk()
+    eng.note_on(60, 0.9)
+    eng.render(eng.block)
+    eng.note_on(60, 0.5)
+    assert np.isfinite(eng._releases[0])
+    out = eng.render(eng.block)
+    assert np.isfinite(out).all()
+    assert eng.active_voice_count() >= 1
+
+
+def test_arbitrary_render_granularity():
+    """render(n) for n not a block multiple buffers a surplus and
+    stitches exactly."""
+    a = _mk()
+    b = _mk()
+    for e in (a, b):
+        e.note_on(69, 0.8)
+    whole = a.render(2 * a.block)
+    pieces = np.concatenate([b.render(100), b.render(b.block - 50),
+                             b.render(b.block - 50)])
+    np.testing.assert_array_equal(whole, pieces)
+
+
+def test_silence_before_any_note():
+    eng = _mk()
+    eng.warm_up()   # cold chains carry the tremolo-pump settling transient
+    out = eng.render(eng.block)
+    assert out.shape == (eng.block,)
+    # chain noise floor only (no voices yet)
+    assert np.abs(out).max() < 1e-3
+
+
+def test_lane_reuse_past_capacity():
+    """More note instances than lanes: the oldest-retired lane is
+    reused and rendering stays finite."""
+    from openwurli_tpu import fast_engine as fe
+
+    eng = _mk()
+    # burn through > LANES instances with immediate note-offs
+    for k in range(fe.LANES + 4):
+        note = 40 + (k % 40)
+        eng.note_on(note, 0.6)
+        eng.note_off(note)
+    assert eng._n_used == fe.LANES
+    out = eng.render(eng.block)
+    assert np.isfinite(out).all()
+
+
+@pytest.mark.slow
+def test_reset_restores_initial_behavior():
+    eng = _mk()
+    eng.warm_up()
+    eng.note_on(60, 0.9)
+    first = eng.render(eng.block)
+    eng.reset()
+    eng.note_on(60, 0.9)
+    again = eng.render(eng.block)
+    np.testing.assert_array_equal(first, again)

@@ -48,6 +48,62 @@ def test_render_grid_sharded_tile_crossing():
     assert np.abs(out_sh - out_1).max() <= max(5e-2 * ref, 1e-6)
 
 
+def test_render_grid_sharded_production_geometry():
+    """Sharded ≈ unsharded at the PRODUCTION tile geometry the bench
+    runs: T_TILE=512 chain tiles (12 of them — 0.77 s at 8 kHz), 16
+    voices per stream → 128 lanes per device on the 8-device mesh.
+    Round-3 gates only exercised 64-sample/t_tile=32 toy shapes; a
+    sharding bug at real tile sizes or lane-row boundaries would have
+    passed them."""
+    from openwurli_tpu.kernels import mono_chain as mc
+
+    mesh = meshlib.make_mesh(jax.devices("cpu")[:8])
+    rng = np.random.default_rng(7)
+    midis = rng.uniform(36.0, 95.0, size=(8, 16))
+    sr = 8000.0
+    t = 12 * mc.T_TILE
+    out_sh = np.asarray(fast.render_grid_sharded(
+        mesh, midis, 0.8, t / sr, sample_rate=sr, interpret=True,
+        t_tile=mc.T_TILE))
+    out_1 = np.asarray(fast.render_grid(
+        midis, 0.8, t / sr, sample_rate=sr, interpret=True,
+        t_tile=mc.T_TILE))
+    assert out_sh.shape == out_1.shape == (t, 8)
+    assert np.isfinite(out_sh).all()
+    # real audio reached the end of every stream
+    assert np.abs(out_1[-mc.T_TILE:, :]).max() > 1e-5
+    ref = np.abs(out_1).max()
+    assert np.abs(out_sh - out_1).max() <= max(5e-2 * ref, 1e-6)
+
+
+def test_voice_chunk_boundary_lane_independence():
+    """The events-path voice bank renders >4096-lane banks in stitched
+    VMEM chunks; voices are mutually independent, so lanes spanning the
+    4096 chunk boundary must be BIT-IDENTICAL to the same voices
+    rendered standalone. Catches chunk offset/stitch bugs at the real
+    boundary (round-3 gates never crossed it)."""
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import voice_bank as vb
+
+    lanes = 4224  # 4096 + 128: two chunks on the events path
+    rng = np.random.default_rng(11)
+    notes = rng.uniform(36.0, 95.0, lanes)
+    vels = rng.uniform(0.4, 1.0, lanes)
+    onsets = (rng.integers(0, 8, lanes) * 16).astype(np.float64)
+    releases = np.where(rng.random(lanes) < 0.5,
+                        256.0 + 16 * rng.integers(0, 8, lanes), np.inf)
+    params, _ = vb.make_kernel_params(notes, vels, 44100.0,
+                                      onsets=onsets, releases=releases)
+    t = 512
+    big = np.asarray(vb.render_voice_bank(jnp.asarray(params), t,
+                                          interpret=True, events=True))
+    lo, hi = 4096 - 64, 4096 + 64
+    small = np.asarray(vb.render_voice_bank(
+        jnp.asarray(params[..., lo:hi]), t, interpret=True, events=True))
+    np.testing.assert_array_equal(big[:, lo:hi], small)
+
+
 def test_render_grid_matches_composed_pipeline():
     """fast.render_grid == voice bank + sum + mono chain composed by
     hand (same kernels, interpret mode, tiny shapes)."""

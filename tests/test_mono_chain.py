@@ -244,21 +244,36 @@ def test_full_chain_parity(lvl, rel_gate, abs_gate):
     assert err_dbfs < abs_gate, f"full-chain abs error {err_dbfs:.1f} dBFS"
 
 
-def _f64_chain(audio, depth, volume, character):
-    """f64 reference: engine.py's mono chain body without voices."""
+def _f64_chain(audio, depth, volume, character, gldr_scale=1.0,
+               gldr_seq=None):
+    """f64 reference: engine.py's mono chain body without voices.
+
+    gldr_scale: multiply the tremolo-derived LDR conductance (for the
+    trajectory-sensitivity bound). gldr_seq (T,) — bypass the tremolo
+    entirely and drive the preamp with this conductance per base sample
+    (both oversampled sub-samples see the same value; the fixed-
+    trajectory comparison mode)."""
     pp = dkp.make_params(OS_SR)
     tp = trmod.make_params(OS_SR)
     pa = pamod.make_params(OS_SR)
     spk_params = spkmod.make_params(BASE_SR)
     coeffs = spkmod.coeffs_for_character(character, BASE_SR)
 
-    def body(carry, x):
+    use_seq = gldr_seq is not None
+    xs = (jnp.asarray(audio),
+          jnp.asarray(gldr_seq if use_seq else np.zeros(len(audio))))
+
+    def body(carry, xg):
+        x, gs = xg
         os_st, trem, pre, pa_st, spk = carry
         os_st, (e, o) = allpass.up_step(os_st, x)
         ys = []
         for u in (e, o):
-            trem, shunt = trmod.step(tp, trem, depth)
-            g_ldr = dkp.ldr_conductance(shunt)
+            if use_seq:
+                g_ldr = gs
+            else:
+                trem, shunt = trmod.step(tp, trem, depth)
+                g_ldr = dkp.ldr_conductance(shunt) * gldr_scale
             pre, pre_out = dkp.step(pp, pre, g_ldr, u)
             pa_st, y = pamod.step(pa, pa_st, pre_out * 0.25, rail_sag=True)
             ys.append(y)
@@ -271,5 +286,76 @@ def _f64_chain(audio, depth, volume, character):
 
     carry0 = (allpass.init_state(), trmod.init_state(OS_SR),
               dkp.init_state(pp), pamod.init_state(pa), spkmod.init_state())
-    _, y = jax.lax.scan(body, carry0, jnp.asarray(audio))
+    _, y = jax.lax.scan(body, carry0, xs)
     return np.asarray(y)
+
+
+def _loud_test_signal(t_len=8192, lvl=0.1):
+    tt = np.arange(t_len) / BASE_SR
+    env = np.minimum(np.arange(t_len) / 800.0, 1.0)
+    return (env * lvl * (np.sin(2 * np.pi * 220 * tt)
+                         + 0.5 * np.sin(2 * np.pi * 440 * tt))
+            ).astype(np.float32)
+
+
+@pytest.mark.slow
+def test_full_chain_gldr_sensitivity_bound():
+    """COMMITTED measurement of the bound the −40 dB loud-drive gate
+    leans on: the f64 chain against ITSELF with the LDR conductance
+    perturbed by 0.1 % moves ≈−39 dB at loud drive (junction turn-on at
+    the tremolo crest is a bifurcation — hypersensitivity to the
+    trajectory, not an f32 deficiency). The band fails if a tremolo or
+    preamp change silently voids the bound in either direction."""
+    audio = _loud_test_signal().astype(np.float64)
+    y = _f64_chain(audio, depth=0.5, volume=0.5, character=0.0)
+    yp = _f64_chain(audio, depth=0.5, volume=0.5, character=0.0,
+                    gldr_scale=1.001)
+    db = _db((yp - y)[1000:], y[1000:])
+    assert -44.0 < db < -34.0, f"sensitivity bound moved: {db:.1f} dB"
+
+
+@pytest.mark.slow
+def test_full_chain_parity_fixed_trajectory():
+    """Full chain f32-vs-f64 with the tremolo trajectory BIT-MATCHED
+    (an identical f32-representable LDR-conductance sweep drives both
+    paths, spanning the full 4–20 kΩ shunt range): with trajectory
+    divergence removed, the kernel tracks the f64 chain to −53 dB
+    relative / −56 dBFS at loud drive — 13 dB past the −40 dB
+    trajectory-dominated headline gate. The remaining error is the
+    power-amp twin's f32 floor (the preamp stage alone sits at −64 dB,
+    test_preamp_stage_parity)."""
+    t_len = 8192
+    audio = _loud_test_signal(t_len)
+    r = 12000 + 8000 * np.sin(2 * np.pi * 5.5 * np.arange(t_len) / BASE_SR)
+    g = (1.0 / np.maximum(r, 1000.0)).astype(np.float32)
+
+    y64 = _f64_chain(audio.astype(np.float64), depth=0.5, volume=0.5,
+                     character=0.0, gldr_seq=g.astype(np.float64))
+
+    c, carr, sc, names = _kernel_env()
+    ctrl = mc.make_controls(BASE_SR, 1, volume=0.5, depth=0.5,
+                            character=0.0)
+    cc = dict(carr)
+    cc.update({k: jnp.asarray(v) for k, v in
+               mc.unpack_controls(jnp.asarray(ctrl)).items()})
+    flat = mc.init_state(BASE_SR, 1)
+    st0 = {k: jnp.asarray(v)
+           for k, v in mc.unpack_state(jnp.asarray(flat)).items()}
+
+    def body32(carry, xg):
+        x, gv = xg
+        st = dict(zip(names, carry))
+        # pin the interpolated tremolo line to the injected value
+        st["gldr_cur"] = jnp.full_like(st["gldr_cur"], gv)
+        st["gldr_upd_prev"] = jnp.full_like(st["gldr_upd_prev"], gv)
+        st["trem_phase"] = jnp.zeros_like(st["trem_phase"])
+        st, y = mc.base_step(cc, sc, st, x.reshape(1, 1))
+        return tuple(st[n] for n in names), y.ravel()
+
+    _, y32 = jax.lax.scan(jax.jit(body32), tuple(st0[n] for n in names),
+                          (jnp.asarray(audio), jnp.asarray(g)))
+    err = (np.asarray(y32).ravel() - y64)[1000:]
+    db = _db(err, y64[1000:])
+    err_dbfs = 20.0 * np.log10(max(np.sqrt(np.mean(err**2)), 1e-30))
+    assert db < -50.0, f"fixed-trajectory parity {db:.1f} dB"
+    assert err_dbfs < -53.0, f"fixed-trajectory abs {err_dbfs:.1f} dBFS"

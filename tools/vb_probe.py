@@ -26,6 +26,9 @@ def main():
     p.add_argument("--sr", type=float, default=44100.0)
     p.add_argument("--events", action="store_true",
                    help="also time the events path")
+    p.add_argument("--ko", default="",
+                   help="comma list of VB_KO knockout levels to time "
+                        "(plain path only), e.g. 0,1,2,3,4")
     args = p.parse_args()
 
     plats = os.environ.get("JAX_PLATFORMS", "")
@@ -71,6 +74,15 @@ def main():
         ns = best / (lanes * total) * 1e9
         print(f"{tag:12s} wall={best:6.3f}s  {ns:6.3f} ns/lane-sample  "
               f"compile={compile_s:5.1f}s chk={chk:.6e}", flush=True)
+
+    if args.ko:
+        for lvl_s in args.ko.split(","):
+            vb.VB_KO = int(lvl_s)
+            jax.clear_caches()
+            timed(f"plain ko={lvl_s}", params, False)
+        vb.VB_KO = 0
+        jax.clear_caches()
+        return
 
     timed("plain", params, False)
     if args.events:
