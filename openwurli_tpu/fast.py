@@ -314,11 +314,17 @@ def render_events_parallel(midis, velocities, onsets, releases, seconds,
     n = len(midis)
     assert n > 0
 
-    # segment geometry (all multiples of the kernel tile)
+    # segment geometry (all multiples of the kernel tile). warm rounds
+    # UP exactly like render_events' warm pre-roll: the tremolo phase
+    # advances warm+t by construction in both paths, so any difference
+    # in the rounded warm length shifts the two tremolo trajectories
+    # against each other — at production tiles (512) the old round-DOWN
+    # misaligned them by up to one tile and cost ~25 dB of parity.
     per = -(-t_total // int(segments))
     seg_len = max(t_tile, -(-per // t_tile) * t_tile)
     n_seg = -(-t_total // seg_len)
-    warm = max(t_tile, int(round(warm_seconds * sr)) // t_tile * t_tile)
+    warm = -(-int(round(warm_seconds * sr)) // t_tile) * t_tile
+    warm = max(t_tile, warm)
 
     onsets = np.asarray(onsets, dtype=np.float64)
     onsets = np.round(onsets / 16.0) * 16.0

@@ -168,6 +168,49 @@ class FastEngine:
             self.sample_rate, self._controls(), self._chain_state,
             silence, interpret=self.interpret, t_tile=self.t_tile)
 
+    def precompile(self):
+        """Compile both kernels CONCURRENTLY and settle the chain.
+
+        The voice-events kernel and the mono-chain kernel compile on
+        the remote helper independently (~30-40 s each over the
+        tunnel); overlapping them makes startup ≈ max, not sum, of the
+        two — the first-note-latency budget. The throwaway voice render
+        uses its own params/state and never touches session state."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+        import jax.numpy as jnp
+
+        def compile_voice():
+            with jax.default_device(mc._cpu_device()):
+                params, _ = vb.make_kernel_params(
+                    self._midis, self._vels, self.sample_rate,
+                    onsets=self._onsets, releases=self._releases,
+                    lanes=LANES, n_active=0)
+            voices, _ = vb.render_voice_bank(
+                jnp.asarray(np.asarray(params)), self.block,
+                interpret=self.interpret, steady=None, n0=0,
+                return_state=True, events=True, min_release=0.0)
+            jax.block_until_ready(voices)
+
+        def compile_chain():
+            self.warm_up()
+            # the chain kernel compiles per render LENGTH — the warm-up
+            # shape and the per-block shape are different programs, so
+            # compile the block shape too (throwaway state copy)
+            silence = jnp.zeros((self.block, 1), jnp.float32)
+            out, _ = mc.render_tpu(
+                self.sample_rate, self._controls(),
+                jnp.asarray(np.asarray(self._chain_state)), silence,
+                interpret=self.interpret, t_tile=self.t_tile)
+            jax.block_until_ready(out)
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fv = ex.submit(compile_voice)
+            fc = ex.submit(compile_chain)
+            fv.result()
+            fc.result()
+
     def render(self, num_samples: int) -> np.ndarray:
         """Render the next num_samples mono f32 samples."""
         out = []

@@ -104,3 +104,77 @@ class WurliPlugin:
         mono = (np.concatenate(chunks) if chunks
                 else np.zeros(0, dtype=np.float32))
         return np.repeat(mono[:, None], 2, axis=1)
+
+
+class FastWurliPlugin:
+    """WurliPlugin-surface adapter over the fused-kernel FastEngine.
+
+    Same parameter surface and process() contract as WurliPlugin, but
+    backed by openwurli_tpu.fast_engine (one-time kernel compile, then
+    ~100 ms/block dispatch over a tunneled device) instead of the f64
+    scan engine (~6 min compile). Trade-offs inherited from FastEngine:
+    events quantize to its internal 1024-sample block grid rather than
+    sample-accurate sub-block splits, controls are static per block (no
+    5 ms smoothing), and authentic_noise / noise_level are inert (the
+    kernels model the reference's default no-noise build; circuit noise
+    lives on the melange f64 path only).
+    """
+
+    CLAP_ID = WurliPlugin.CLAP_ID
+
+    def __init__(self, sample_rate: float = 44100.0, **engine_kw):
+        from openwurli_tpu.fast_engine import FastEngine
+
+        self._engine_kw = dict(engine_kw)
+        self.engine = FastEngine(sample_rate, **engine_kw)
+        self.params = WurliParams()
+
+    def set_sample_rate(self, sr: float):
+        from openwurli_tpu.fast_engine import FastEngine
+
+        self.engine = FastEngine(sr, **self._engine_kw)
+
+    def reset(self):
+        self.engine.reset()
+
+    def precompile(self):
+        self.engine.precompile()
+
+    def _sync_params(self):
+        e = self.engine
+        e.set_volume(self.params.volume)
+        e.set_tremolo_depth(self.params.tremolo_depth)
+        e.set_speaker_character(self.params.speaker_character)
+
+    def _dispatch(self, ev: MidiEvent):
+        if ev.kind == "note_on":
+            if ev.velocity > 0:
+                self.engine.note_on(ev.note, ev.velocity)
+            else:
+                self.engine.note_off(ev.note)
+        elif ev.kind == "note_off":
+            self.engine.note_off(ev.note)
+        elif ev.kind == "cc" and ev.cc == 64:
+            self.engine.set_sustain(ev.value >= 64)
+
+    def process(self, num_samples: int,
+                events: Sequence[MidiEvent] = ()) -> np.ndarray:
+        """Render one block → (num_samples, 2) float32 (stereo fan-out).
+
+        Events dispatch at their offsets, but take audible effect at
+        FastEngine's next internal block boundary (≤ ~23 ms later)."""
+        self._sync_params()
+        events = sorted(events, key=lambda ev: ev.sample_offset)
+        chunks = []
+        cursor = 0
+        for ev in events:
+            off = min(max(int(ev.sample_offset), cursor), num_samples)
+            if off > cursor:
+                chunks.append(self.engine.render(off - cursor))
+                cursor = off
+            self._dispatch(ev)
+        if cursor < num_samples:
+            chunks.append(self.engine.render(num_samples - cursor))
+        mono = (np.concatenate(chunks) if chunks
+                else np.zeros(0, dtype=np.float32))
+        return np.repeat(mono[:, None], 2, axis=1)

@@ -33,14 +33,22 @@ import time
 
 import numpy as np
 
-from openwurli_tpu.host import MidiEvent, WurliPlugin
+from openwurli_tpu.host import FastWurliPlugin, MidiEvent, WurliPlugin
+
+
+def _make_plugin(sample_rate, engine):
+    if engine == "fast":
+        p = FastWurliPlugin(sample_rate)
+        p.precompile()
+        return p
+    return WurliPlugin(sample_rate)
 
 
 class StreamHost:
     """NDJSON-control / raw-PCM-data streaming server."""
 
-    def __init__(self, sample_rate=44100.0, block=4096):
-        self.plugin = WurliPlugin(sample_rate)
+    def __init__(self, sample_rate=44100.0, block=4096, engine="f64"):
+        self.plugin = _make_plugin(sample_rate, engine)
         self.block = int(block)
         self.pending = []
 
@@ -115,9 +123,10 @@ def _blocks_from_midi(path, sample_rate, block, tail_seconds):
 
 
 def play_midi(path, out, sample_rate=44100.0, block=4096,
-              realtime=False, tail_seconds=2.0, err=sys.stderr):
+              realtime=False, tail_seconds=2.0, err=sys.stderr,
+              engine="f64"):
     """Stream a MIDI file as raw stereo f32 PCM; returns achieved RTF."""
-    plugin = WurliPlugin(sample_rate)
+    plugin = _make_plugin(sample_rate, engine)
     rendered = 0
     t0 = time.time()
     for n, evs in _blocks_from_midi(path, sample_rate, block,
@@ -146,6 +155,10 @@ def main(argv=None):
     p.add_argument("--block", type=int, default=4096)
     p.add_argument("--realtime", action="store_true",
                    help="pace MIDI streaming to wall clock")
+    p.add_argument("--engine", choices=("f64", "fast"), default="f64",
+                   help="f64 scan engine (reference-accurate) or the "
+                        "fused-kernel FastEngine (one-time compile, "
+                        "interactive dispatch; fast-path parity)")
     p.add_argument("--tail", type=float, default=2.0)
     p.add_argument("-o", "--output", default="-",
                    help="'-' = stdout (raw PCM), else .wav path")
@@ -161,10 +174,10 @@ def main(argv=None):
         close = args.output
 
     if args.serve:
-        StreamHost(args.sr, args.block).serve(sys.stdin, out)
+        StreamHost(args.sr, args.block, args.engine).serve(sys.stdin, out)
     elif args.midi:
         play_midi(args.midi, out, args.sr, args.block, args.realtime,
-                  args.tail)
+                  args.tail, engine=args.engine)
     else:
         p.error("need --serve or --midi")
 

@@ -106,6 +106,27 @@ def test_lane_reuse_past_capacity():
     assert np.isfinite(out).all()
 
 
+def test_fast_plugin_adapter_block_semantics():
+    """FastWurliPlugin: WurliPlugin's process() contract (stereo fan-out,
+    event dispatch, param sync) over the fused-kernel engine."""
+    from openwurli_tpu.host import FastWurliPlugin, MidiEvent
+
+    plug = FastWurliPlugin(SR, interpret=True, t_tile=32)
+    plug.params.volume = 0.6
+    blk = plug.engine.block
+    out0 = plug.process(blk, [MidiEvent(0, "note_on", 60, 0.9)])
+    out1 = plug.process(blk, [MidiEvent(10, "cc", cc=64, value=127),
+                              MidiEvent(20, "note_off", 60)])
+    for out in (out0, out1):
+        assert out.shape == (blk, 2)
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(out[:, 0], out[:, 1])
+    assert np.abs(out1).max() > 1e-5        # the note sounded
+    assert plug.engine.is_sustain_held()    # CC64 reached the engine
+    # note_off under the pedal defers the release
+    assert not np.isfinite(plug.engine._releases[0])
+
+
 @pytest.mark.slow
 def test_reset_restores_initial_behavior():
     eng = _mk()
