@@ -27,13 +27,16 @@ import numpy as np
 
 
 def render_note_pool(sr, seconds, interpret, vels=(0.4, 0.7, 1.0),
-                     midi_step=1):
-    """Render every (midi 36-96 × velocity) single note through the full
-    fast-path chain → dict[(midi, vel)] = (T,) float32.
+                     midi_step=1, depths=(0.0, 0.4, 0.8)):
+    """Render every (midi 36-96 × velocity × tremolo depth) single note
+    through the full fast-path chain → dict[(midi, vel, depth)] = (T,)
+    float32. Depth diversity keeps the detector from keying on one
+    tremolo AM signature (round-3 model trained at depth 0.4 only).
 
-    All combinations go into ONE render_grid call with the stream count
-    padded to a multiple of 128: odd stream counts hand the mono-chain
-    kernel a ragged lane dimension and the Mosaic compile crawls."""
+    All combinations go into ONE render_grid call per depth with the
+    stream count padded to a multiple of 128: odd stream counts hand the
+    mono-chain kernel a ragged lane dimension and the Mosaic compile
+    crawls."""
     from openwurli_tpu import fast
     from openwurli_tpu.calib.onset_model import MIDI_HI, MIDI_LO
 
@@ -46,14 +49,34 @@ def render_note_pool(sr, seconds, interpret, vels=(0.4, 0.7, 1.0),
     for i, (m, v) in enumerate(combos):
         grid[i] = m
         vel_col[i] = v
-    out = np.asarray(fast.render_grid(
-        grid[:, None], vel_col[:, None], seconds, sr,
-        volume=0.5, depth=0.4, character=0.0, interpret=interpret))
     pool = {}
+    for depth in depths:
+        out = np.asarray(fast.render_grid(
+            grid[:, None], vel_col[:, None], seconds, sr,
+            volume=0.5, depth=depth, character=0.0, interpret=interpret))
+        for i, (m, v) in enumerate(combos):
+            pool[(m, v, depth)] = out[:, i].astype(np.float32)
+
+    # Voice-only (DI) timbre family: the pipeline also meets recordings
+    # without the amp/speaker coloration (reference ml renders the DI
+    # path, render_model_notes.py) — without these the model makes
+    # octave errors on voice-path audio (caught by the pipeline
+    # end-to-end test in round 4).
+    import jax.numpy as jnp
+
+    from openwurli_tpu.kernels import voice_bank as vb
+
+    params, _ = vb.make_kernel_params(grid, vel_col, sr, lanes=s_pad)
+    t_pad = -(-int(seconds * sr) // 512) * 512
+    voices = np.asarray(vb.render_voice_bank(
+        jnp.asarray(params), t_pad, interpret=interpret,
+        steady=vb.steady_limits(np.asarray(params)), events=False))
     for i, (m, v) in enumerate(combos):
-        pool[(m, v)] = out[:, i].astype(np.float32)
-    print(f"  rendered {len(combos)} (note, velocity) combinations "
-          f"in one {s_pad}-stream call")
+        seg = voices[:int(seconds * sr), i].astype(np.float32)
+        peak = max(float(np.abs(seg).max()), 1e-9)
+        pool[(m, v, "di")] = 0.3 * seg / peak
+    print(f"  rendered {len(combos)} (note, velocity) combinations × "
+          f"({len(depths)} tremolo depths + DI) ({s_pad}-stream calls)")
     return pool
 
 
@@ -87,11 +110,12 @@ def synth_mixtures(pool, sr, n_clips, clip_seconds, seed):
         k = int(rng.integers(1, 5))
         events = []
         for _ in range(k):
-            midi, vel = keys[rng.integers(len(keys))]
+            key = keys[rng.integers(len(keys))]
+            midi = key[0]
             onset_s = float(rng.uniform(0.1, clip_seconds - 0.6))
             gain = 10.0 ** (rng.uniform(-12.0, 0.0) / 20.0)
             i0 = int(onset_s * sr)
-            seg = pool[(midi, vel)].astype(np.float64).copy()
+            seg = pool[key].astype(np.float64).copy()
             # fade the pool clip's hard cut (a real note rings out; the
             # cut's broadband splatter would teach spurious onsets)
             n_f = min(len(seg), int(0.05 * sr))
@@ -239,6 +263,26 @@ def main():
         fp += len(found) - len(used)
     print(f"end-to-end: {hits}/{total} notes recovered "
           f"(±80 ms, ±1 semitone), {fp} spurious")
+
+    # spectral-path baseline on the SAME validation mixtures — the
+    # number that decides whether the NN earns the pipeline default
+    from openwurli_tpu.calib import notes as notes_mod
+
+    s_hits = s_fp = 0
+    for audio, events in clips[:n_val]:
+        found = notes_mod.extract_notes(audio, args.sr, min_duration=0.1,
+                                        method="spectral")
+        used = set()
+        for onset_s, midi in events:
+            ok = [i for i, f in enumerate(found)
+                  if i not in used and abs(f["onset_s"] - onset_s) < 0.08
+                  and abs(f["midi_note"] - midi) <= 1]
+            if ok:
+                used.add(ok[0])
+                s_hits += 1
+        s_fp += len(found) - len(used)
+    print(f"spectral baseline: {s_hits}/{total} notes recovered, "
+          f"{s_fp} spurious")
 
     out = args.out or om._DATA
     om.save_params(params, out)
