@@ -145,25 +145,31 @@ def main(n_devices: int) -> None:
     out_sh = np.asarray(fast.render_grid_sharded(
         mesh, midis, 0.8, t_kernel / 44100.0, interpret=True,
         t_tile=mc.T_TILE))
-    out_1 = np.asarray(fast.render_grid(
-        midis, 0.8, t_kernel / 44100.0, interpret=True,
-        t_tile=mc.T_TILE))
-    assert out_sh.shape == out_1.shape == (t_kernel, n_devices)
+    assert out_sh.shape == (t_kernel, n_devices)
     assert np.isfinite(out_sh).all()
     assert len(np.unique(out_sh[-1, :])) == n_devices, \
         "streams collapsed across shards"
-    # Tolerance, not bit equality: XLA lowers the chain's flat GE arrays
-    # differently for S_local=1 vs S=8 (vectorization/FMA contraction is
-    # shape-dependent), and the chain amplifies low-order-bit deltas
-    # (see tests/test_mono_chain.py full-chain gate notes). A sharding
-    # BUG (garbled lanes / wrong collective) is O(1), not O(1e-4).
-    err_k = float(np.abs(out_sh - out_1).max())
-    ref = float(np.abs(out_1).max())
-    assert err_k <= max(5e-2 * ref, 1e-6), (
-        f"sharded kernel deviates: {err_k:.3e} (signal {ref:.3e})")
+    # BIT-level gate: each device's shard_map body traces the SAME
+    # program an unsharded render of that shard alone traces (identical
+    # local shapes), so shard_map must reproduce the standalone renders
+    # EXACTLY — any deviation at all is a sharding bug (lane permutation,
+    # wrong ctrl/state row, stitch offset). Value-tolerance gates against
+    # the S=8 batch render can't do this job: XLA's shape-dependent FMA
+    # contraction seeds ulp deltas that the chain's NR trajectory
+    # amplifies ~1e3× within 128 samples at this drive (measured; see
+    # tests/test_mono_chain.py full-chain gate notes).
+    oracle = np.concatenate(
+        [np.asarray(fast.render_grid(midis[i:i + 1], 0.8,
+                                     t_kernel / 44100.0, interpret=True,
+                                     t_tile=mc.T_TILE))
+         for i in range(n_devices)], axis=1)
+    np.testing.assert_array_equal(out_sh, oracle,
+                                  err_msg="sharded render is not "
+                                          "bit-identical to per-shard "
+                                          "standalone renders")
     print(f"dryrun_multichip({n_devices}) phase 2: fused kernels sharded "
-          f"over {n_devices} devices, |sharded-unsharded|max={err_k:.1e}"
-          " — OK")
+          f"over {n_devices} devices, bit-identical to per-shard "
+          "standalone renders — OK")
 
 
 if __name__ == "__main__":
