@@ -50,6 +50,7 @@ JITTER_SUBSAMPLE = 16
 RENORM_INTERVAL = 1024
 NOISE_FADE_IN = 16
 T_TILE = 512
+UNROLL = 8  # samples per fori group (see the time-loop comment below)
 NEVER = 1.0e12  # release sentinel: voice is never damped
 
 # params rows. Rotation/decay coefficients are stored as DEVIATIONS
@@ -205,11 +206,33 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
         return (cosm1 - delta * sin_inc,
                 delta * (1.0 + cosm1) + sin_inc)
 
+    def _refresh_powers():
+        """Composed rotation powers R^j, j = 1..UNROLL, in deviation form.
+
+        With z = (1+a) + i·b the one-step rotation, slice j-1 of
+        rota/rotb holds Re(z^j)−1 / Im(z^j) — EXACTLY the complex power
+        the old serial loop applied j times (composition of deviations:
+        A_{j+1} = A_j + a + A_j·a − B_j·b, B_{j+1} = B_j + b + B_j·a +
+        A_j·b), so every sub-step's state is reachable directly from the
+        group-start state with no serial dependency between sub-steps.
+        Refreshed only when drift changes (every JITTER_SUBSAMPLE
+        samples) — ~3 amortized ops/sample buys the removal of the
+        8-deep serial rotation chain that set the old per-group floor.
+        """
+        a1, b1 = _rot_ab(drift_ref[:])
+        rota_ref[0:SUBLANES] = a1
+        rotb_ref[0:SUBLANES] = b1
+        aj, bj = a1, b1
+        for j in range(2, UNROLL + 1):
+            a_new = aj + a1 + aj * a1 - bj * b1
+            b_new = bj + b1 + bj * a1 + aj * b1
+            aj, bj = a_new, b_new
+            rota_ref[(j - 1) * SUBLANES:j * SUBLANES] = aj
+            rotb_ref[(j - 1) * SUBLANES:j * SUBLANES] = bj
+
     @pl.when(tile == 0)
     def _init_rot():
-        a0, b0 = _rot_ab(drift_ref[:])
-        rota_ref[:] = a0
-        rotb_ref[:] = b0
+        _refresh_powers()
 
     base_n = tile * t_tile
 
@@ -238,7 +261,6 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
     # Only the 2-op/step linear charge recurrence stays serial. Jitter
     # can only fire at sub-step 0: n ≡ gi·8 (mod 16) since n0 and t_tile
     # are multiples of 16, so its scalar predicate is hoisted per group.
-    UNROLL = 8
     assert t_tile % JITTER_SUBSAMPLE == 0, t_tile
     if VB_KO and events:
         raise ValueError("VB_KO attribution variants support the plain "
@@ -291,24 +313,22 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             else:
                 drift_ref[:] = new_drift
                 irng_ref[0:1, :] = st_out
-            a1, b1 = _rot_ab(drift_ref[:])
-            rota_ref[:] = a1
-            rotb_ref[:] = b1
+            _refresh_powers()
 
         if VB_KO != 6:
             pl.when((n_g & (JITTER_SUBSAMPLE - 1))
                     == jnp.int32(VB_KO == 5))(_jitter)
 
-        # Rotation coefficients are constant within the group (jitter
-        # only fires at sub-step 0, above).
-        a = rota_ref[:]
-        b = rotb_ref[:]
-
-        # s/c/env ride in registers across the group — one VMEM
-        # load/store per group instead of per sample (both paths; the
-        # events damper runs in branchless register form below).
-        s = s_ref[:]
-        c = c_ref[:]
+        # Group-start state: every sub-step's quadrature state is
+        # computed DIRECTLY from (s0, c0) via the composed rotation
+        # powers (see _refresh_powers) — the 8 sub-steps are mutually
+        # independent, so Mosaic can pipeline them instead of waiting on
+        # an 8-deep serial rotation chain; only env (1 op/sub-step, plus
+        # the branchless damper on the events path) stays serial. c is
+        # not needed per sub-step at all — only at the group-end state
+        # advance by R^UNROLL.
+        s0 = s_ref[:]
+        c0 = c_ref[:]
         env = env_ref[:]
 
         # ── warm-phase group branches: onset ramp + attack noise ────
@@ -378,13 +398,11 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             pl.when(n_f0 < jnp.float32(steady[1]) if VB_KO != 5
                     else n_f0 < jnp.float32(-1.0))(_noise_group)
 
-        acc = jnp.zeros((1, a.shape[-1]), jnp.float32) if VB_KO == 2 \
+        acc = jnp.zeros((1, s0.shape[-1]), jnp.float32) if VB_KO in (2, 3) \
             else None
         for j in range(UNROLL):
             n_f = n_f0 + jnp.float32(j)
             if events:
-                active = (n_f - onset_f) >= 0.0
-
                 # 3-phase progressive damper (reed.rs:191-216): release
                 # count t starts at 1 on the release sample; exponential
                 # ramp-in of the damping rate over ramp_f samples, then
@@ -401,11 +419,31 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                 env = jnp.where(in_ramp, env * jnp.exp(-inst), env)
                 env = jnp.where(post, env - env * dm1, env)
 
+            # Quadrature state at sub-step j, directly from the group-
+            # start state via the composed power R^j: s_j = s0 +
+            # (s0·A_j + c0·B_j) — deviation form, so the f32 rounding
+            # enters as (state + small) exactly like the old serial
+            # form, but the UNROLL sub-steps have no dependency on each
+            # other. Pre-onset voices (events) stay frozen at their
+            # note-on state: onsets are quantized to the 16-sample
+            # jitter grid and groups are 8 samples, so `active0` is
+            # constant across the group and masking the rotation TERM
+            # (not the state) keeps frozen lanes bit-identical.
+            if j == 0:
+                sj = s0
+            else:
+                aj = rota_ref[(j - 1) * SUBLANES:j * SUBLANES]
+                bj = rotb_ref[(j - 1) * SUBLANES:j * SUBLANES]
+                rot = s0 * aj + c0 * bj
+                if events:
+                    rot = jnp.where(active0, rot, 0.0)
+                sj = s0 + rot
+
             if VB_KO < 3:
                 # The onset ramp factors out of the mode sum ((1, V)
                 # broadcast), so the loop stages the RAW mode sum and
                 # the batched pickup applies onset8/noise8 afterwards.
-                mraw = jnp.sum(amplitude * s * env, axis=0,
+                mraw = jnp.sum(amplitude * sj * env, axis=0,
                                keepdims=True)  # (1, V)
                 if VB_KO == 2:
                     acc = acc + mraw
@@ -415,35 +453,31 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                     # values live on the Mosaic stack at once and blows
                     # the 16 MB VMEM budget.
                     stage_ref[j:j + 1, :] = mraw
-
-            # Rotation via deviation form: with a = (cos−1) − δ·sin and
-            # b = sin + δ·(1 + (cos−1)), s' = s + s·a + c·b,
-            # c' = c + c·a − s·b — the state update is (state + small),
-            # so f32 rounding enters as an unbiased random walk (~−100 dB
-            # over 1 s) instead of a systematic phase/amplitude drift.
-            s_new = s + (s * a + c * b)
-            c_new = c + (c * a - s * b)
+            elif VB_KO >= 3:
+                acc = acc + jnp.sum(sj, axis=0, keepdims=True)
 
             if events:
-                # Pre-onset voices stay frozen at their note-on state.
-                s = jnp.where(active, s_new, s)
-                c = jnp.where(active, c_new, c)
-                env = jnp.where(active, env - env * decaym1, env)
+                env = jnp.where(active0, env - env * decaym1, env)
             else:
-                # Renorm runs OUTSIDE the sample loop at tile boundaries
-                # (below), so the hot path pays zero renorm ops. (A
-                # scalar per-sample pl.when was measured SLOWER than the
-                # inline arithmetic it saved — Mosaic branches break the
-                # loop pipeline — while the per-tile hoist is free.)
-                s, c = s_new, c_new
                 env = env - env * decaym1
 
-        s_ref[:] = s
-        c_ref[:] = c
+        # Group-end state advance by R^UNROLL (c only needs updating
+        # here, not per sub-step — the mode sum never reads it).
+        a8 = rota_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES]
+        b8 = rotb_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES]
+        d_s = s0 * a8 + c0 * b8
+        d_c = c0 * a8 - s0 * b8
+        if events:
+            s_ref[:] = jnp.where(active0, s0 + d_s, s0)
+            c_ref[:] = jnp.where(active0, c0 + d_c, c0)
+        else:
+            s_ref[:] = s0 + d_s
+            c_ref[:] = c0 + d_c
         env_ref[:] = env
 
         if VB_KO >= 3:
-            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = s + c
+            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
+                jnp.broadcast_to(acc, (UNROLL, acc.shape[-1]))
             return n_f0 + jnp.float32(UNROLL)
         if VB_KO == 2:
             out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
@@ -612,9 +646,11 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
         lanes = params.shape[-1]
         if state is None:
             state = init_bank_state(params)
-        # Events path carries more live temporaries (damper + per-step
-        # masks) — cap its per-kernel width at 4096 lanes for VMEM.
-        max_lanes = 4096 if events else 8192
+        # The composed rotation-power caches (2 × (64, V) f32) put the
+        # 8192-lane plain variant ~252 KB over the 16 MB VMEM budget, so
+        # both paths now chunk at 4096 (the seam is gated bit-identical
+        # in test_fast_sharded.py).
+        max_lanes = 4096
         if lanes <= max_lanes:
             out, st = _render_voice_bank_jit(
                 jnp.asarray(params), jnp.asarray(state),
@@ -647,10 +683,9 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
                            interpret: bool, steady, events: bool,
                            min_release: float, exact_state: bool = False):
     lanes = params.shape[-1]
-    # Output tile ≤ ~1 MB (768 KB at the widest lane count — the batched
-    # pickup's (8, V) temporaries need the headroom) so params + scratch
-    # + double-buffered output stay inside the 16 MB VMEM budget.
-    budget = (3 << 18) if lanes >= 8192 else (1 << 20)
+    # Output tile ≤ ~1 MB so params + scratch + double-buffered output
+    # stay inside the 16 MB VMEM budget at the 4096-lane chunk width.
+    budget = 1 << 20
     t_tile = max(16, min(T_TILE, budget // (lanes * 4) // 16 * 16))
     if exact_state:
         # The grid renders n_tiles·t_tile samples; a CARRIED state must
@@ -688,8 +723,9 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise + pickup q
             pltpu.VMEM((SUBLANES, lanes), jnp.int32),    # LCG states
             pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation a cache
-            pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # rotation b cache
+            # Composed rotation powers R^1..R^UNROLL (see _refresh_powers)
+            pltpu.VMEM((UNROLL * SUBLANES, lanes), jnp.float32),  # A_j
+            pltpu.VMEM((UNROLL * SUBLANES, lanes), jnp.float32),  # B_j
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # pickup group stage
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # onset8 group cache
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise8 group cache
