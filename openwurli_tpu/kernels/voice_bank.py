@@ -398,8 +398,8 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             pl.when(n_f0 < jnp.float32(steady[1]) if VB_KO != 5
                     else n_f0 < jnp.float32(-1.0))(_noise_group)
 
-        acc = jnp.zeros((1, s0.shape[-1]), jnp.float32) if VB_KO in (2, 3) \
-            else None
+        acc = jnp.zeros((1, s0.shape[-1]), jnp.float32) \
+            if VB_KO in (2, 3, 5, 6) else None
         for j in range(UNROLL):
             n_f = n_f0 + jnp.float32(j)
             if events:
@@ -439,7 +439,7 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                     rot = jnp.where(active0, rot, 0.0)
                 sj = s0 + rot
 
-            if VB_KO < 3:
+            if VB_KO < 3 or VB_KO == 4:
                 # The onset ramp factors out of the mode sum ((1, V)
                 # broadcast), so the loop stages the RAW mode sum and
                 # the batched pickup applies onset8/noise8 afterwards.
@@ -475,7 +475,7 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             c_ref[:] = c0 + d_c
         env_ref[:] = env
 
-        if VB_KO >= 3:
+        if VB_KO in (3, 5, 6):
             out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
                 jnp.broadcast_to(acc, (UNROLL, acc.shape[-1]))
             return n_f0 + jnp.float32(UNROLL)
