@@ -101,14 +101,6 @@ def _run_fused(streams, sr, reps):
     chunk = min(8192, lanes)
     nv_chunk = chunk // streams
 
-    @jax.jit
-    def _sum_chunk(v):
-        acc = v[:, 0:streams]
-        for m in range(1, nv_chunk):
-            acc = acc + v[:, m * streams:(m + 1) * streams]
-        return acc
-    checksum = jax.jit(lambda y, s: jnp.sum(y) + jnp.sum(jnp.abs(s)))
-
     steady = vb.steady_limits(params)
 
     # The mono-chain kernel's default 1024-sample tile overflows VMEM at
@@ -116,30 +108,42 @@ def _run_fused(streams, sr, reps):
     # measures within noise of 1024 at lower widths.
     mc_tile = 256 if streams >= 1024 else mc.T_TILE
 
+    # The ENTIRE per-rep pipeline (voice chunks → per-chunk sum → chain
+    # → checksum) is ONE jitted program: the round-4 per-chunk eager
+    # form (params slice + state init + kernel call per chunk, each an
+    # eager dispatch over the tunneled device at ~27 ms RTT) spent
+    # 0.2-1.5 s/rep on dispatches alone — 3-6x the compute at 1024
+    # streams, and exactly the >256-stream ladder collapse (the chunk
+    # count scales with streams). One program = one dispatch per rep.
+    @jax.jit
     def block(state):
         audio = None
         for i0 in range(0, lanes, chunk):
             v = vb.render_voice_bank(params[..., i0:i0 + chunk], t_blk,
                                      steady=steady, events=False)
-            part = _sum_chunk(v)
-            audio = part if audio is None else audio + part
+            acc = v[:, 0:streams]
+            for m in range(1, nv_chunk):
+                acc = acc + v[:, m * streams:(m + 1) * streams]
+            audio = acc if audio is None else audio + acc
         out, state = mc.render_tpu(sr, ctrl, state, audio, t_tile=mc_tile)
-        return out, state
+        chk = jnp.sum(out) + jnp.sum(jnp.abs(state))
+        peak = jnp.max(jnp.abs(out))
+        finite = jnp.isfinite(out).all()
+        return chk, peak, finite, state
 
     # Warm-up: compile + settle the chain ~0.6 s before the timed window.
     t0 = time.time()
-    out, state = block(state)
-    _ = float(checksum(out, state))
+    chk, peak, finite, state = block(state)
+    _ = float(chk)
     compile_s = time.time() - t0
-    peak = float(jnp.max(jnp.abs(out)))
-    finite = bool(jnp.isfinite(out).all())
-    assert finite, "bench render produced non-finite audio"
+    peak = float(peak)
+    assert bool(finite), "bench render produced non-finite audio"
 
     best = float("inf")
     for _ in range(reps):
         t1 = time.time()
-        out, state = block(state)
-        _ = float(checksum(out, state))  # scalar transfer ends the timing
+        chk, _pk, _fin, state = block(state)
+        _ = float(chk)  # scalar transfer ends the timing
         best = min(best, time.time() - t1)
 
     rtf = streams * seconds / best

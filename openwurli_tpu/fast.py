@@ -191,17 +191,35 @@ def render_events(midis, velocities, onsets, releases, seconds,
         _, state = mc.render_tpu(sr, ctrl, state, silence,
                                  interpret=interpret, t_tile=t_tile)
 
-    outs = []
-    for b in range(n_blocks):
+    # One jitted program per block SHAPE (n0 is traced, so every block
+    # reuses the same compile): the round-4 eager per-block form paid
+    # several ~27 ms tunnel dispatches per block (state init, lane sum,
+    # kernel calls) plus a per-block audio transfer. params/ctrl are
+    # ARGUMENTS (not closure constants) and the stages are separated by
+    # optimization barriers: in interpret mode the kernels inline as
+    # plain XLA ops, and without both measures XLA folds/fuses them
+    # differently here than in FastEngine's block program — ulp-level
+    # divergence that breaks the engine-vs-batch bit-exactness gate.
+    # On the real TPU (opaque pallas custom calls) both are no-ops.
+    @jax.jit
+    def _block(params, ctrl, vstate, state, n0):
         voices, vstate = vb.render_voice_bank(
             params, t_blk, interpret=interpret, steady=steady,
-            state=vstate, n0=b * t_blk, return_state=True,
+            state=vstate, n0=n0, return_state=True,
             events=events, min_release=min_rel)
+        voices, vstate = jax.lax.optimization_barrier((voices, vstate))
         audio = voices.sum(-1, keepdims=True)
+        audio = jax.lax.optimization_barrier(audio)
         out, state = mc.render_tpu(sr, ctrl, state, audio,
                                    interpret=interpret, t_tile=t_tile)
-        outs.append(np.asarray(out[:, 0]))
-    return np.concatenate(outs)[:t_total]
+        return out[:, 0], vstate, state
+
+    outs = []
+    for b in range(n_blocks):
+        out, vstate, state = _block(params, ctrl, vstate, state,
+                                    jnp.asarray(b * t_blk, jnp.int32))
+        outs.append(out)  # device arrays; one host transfer at the end
+    return np.asarray(jnp.concatenate(outs))[:t_total]
 
 
 VOICE_TIMEOUT_S = 10.0  # reference: damping voices retire 10 s after RELEASE

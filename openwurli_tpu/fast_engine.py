@@ -13,10 +13,14 @@ first-note latency is one voice-kernel + one chain-kernel compile
 
 Semantics vs engine.Engine (same trade-offs as fast.render_events, the
 batch form — parity gates in tests/test_fast_events.py):
-  * events quantize to the internal block grid (BLOCK samples ≈ 12 ms
-    at 44.1 kHz; the reference plugin splits sub-blocks sample-
-    accurately, plugin lib.rs:128-153) and then to the 16-sample jitter
-    grid inside the kernel;
+  * events land at `offset` samples into the NEXT un-rendered block
+    (default 0 = block start), then quantize to the 16-sample jitter
+    grid inside the kernel (≈ 0.36 ms at 44.1 kHz). A host that knows
+    its events' sample positions within the upcoming block (the
+    reference plugin splits sub-blocks sample-accurately, plugin
+    lib.rs:128-153) passes them as offsets and gets ≤ 8-sample
+    placement error; immediate-mode callers that omit the offset get
+    block-boundary placement (BLOCK samples ≈ 23 ms at 44.1 kHz);
   * controls (volume/tremolo depth/speaker character) are static per
     block — no 5 ms per-sample smoothing ramps;
   * voices are append-per-note-instance over a 128-lane bank with
@@ -52,11 +56,18 @@ class FastEngine:
 
     def __init__(self, sample_rate: float = 44100.0, volume: float = 0.5,
                  tremolo_depth: float = 0.5, speaker_character: float = 0.0,
-                 interpret: bool = False, t_tile: int | None = None):
+                 interpret: bool = False, t_tile: int | None = None,
+                 lookahead: int = 0):
         import jax
 
         self.sample_rate = float(sample_rate)
         self.interpret = bool(interpret)
+        # Pipelined dispatch depth: with lookahead=k, up to k future
+        # blocks are dispatched (device-side, async) before the current
+        # block's host transfer blocks — device compute and tunnel
+        # round-trips overlap instead of serializing. Cost: events land
+        # k blocks later (they cannot affect already-dispatched audio).
+        self.lookahead = int(lookahead)
         self.t_tile = int(t_tile or mc.T_TILE)
         assert BLOCK % self.t_tile == 0 or self.t_tile % BLOCK == 0
         self.block = max(BLOCK, self.t_tile)
@@ -85,18 +96,51 @@ class FastEngine:
 
         self._horizon = 0                    # samples rendered internally
         self._surplus = np.zeros(0, dtype=np.float32)
+        self._inflight: list = []            # dispatched, unmaterialized
 
         with jax.default_device(mc._cpu_device()):
             mc.pack_consts(self.sample_rate)
             self._chain_state = jax.numpy.asarray(
                 mc.init_state(self.sample_rate, 1))
         self._vstate = None
+        self._block_fn = self._make_block_fn()
+
+    def _make_block_fn(self):
+        """ONE jitted program for a whole block (voice kernel → lane sum
+        → chain kernel): the eager form paid several ~27 ms tunnel
+        dispatches per block. n0 is traced, so every block of a session
+        reuses the same compile."""
+        import jax
+
+        t = self.block
+
+        @jax.jit
+        def _block(params, ctrl, vstate, chain_state, n0):
+            voices, vstate = vb.render_voice_bank(
+                params, t, interpret=self.interpret, steady=None,
+                state=vstate, n0=n0, return_state=True, events=True,
+                min_release=0.0)
+            # barriers keep the interpret-mode program's stage HLO
+            # identical to fast.render_events' (bit-exactness gate);
+            # no-ops on the real TPU — see fast.render_events._block
+            voices, vstate = jax.lax.optimization_barrier(
+                (voices, vstate))
+            audio = voices.sum(-1, keepdims=True)
+            audio = jax.lax.optimization_barrier(audio)
+            out, chain_state = mc.render_tpu(
+                self.sample_rate, ctrl, chain_state, audio,
+                interpret=self.interpret, t_tile=self.t_tile)
+            return out[:, 0], vstate, chain_state
+
+        return _block
 
     # ── MIDI / parameter surface (engine.rs:154-675) ─────────────────
 
-    def note_on(self, note: int, velocity: float):
-        """velocity in [0, 1] (hosts pass midi_vel/127)."""
-        t = float(self._horizon)
+    def note_on(self, note: int, velocity: float, offset: int = 0):
+        """velocity in [0, 1] (hosts pass midi_vel/127). offset: samples
+        into the next un-rendered block (sample-accurate placement up to
+        the kernel's 16-sample jitter grid)."""
+        t = float(self._horizon + self._clip_offset(offset))
         old = self._ringing.get(int(note))
         if old is not None and not np.isfinite(self._releases[old]):
             self._releases[old] = t          # damp the re-struck voice
@@ -110,25 +154,33 @@ class FastEngine:
         self._new_lanes.append(lane)
         self._params_dirty = True
 
-    def note_off(self, note: int):
+    def note_off(self, note: int, offset: int = 0):
         lane = self._ringing.get(int(note))
         if lane is None or np.isfinite(self._releases[lane]):
             return
         if self._sustain:
             self._pending.add(lane)
         else:
-            self._releases[lane] = float(self._horizon)
+            self._releases[lane] = float(self._horizon
+                                         + self._clip_offset(offset))
             self._params_dirty = True
 
-    def set_sustain(self, held: bool):
+    def set_sustain(self, held: bool, offset: int = 0):
         held = bool(held)
         if self._sustain and not held:
-            t = float(self._horizon)
+            t = float(self._horizon + self._clip_offset(offset))
             for lane in self._pending:
                 self._releases[lane] = t
             self._pending.clear()
             self._params_dirty = True
         self._sustain = held
+
+    def _clip_offset(self, offset) -> int:
+        # Offsets address the next un-rendered block only: the block
+        # renders as soon as render() needs it, so anything farther out
+        # would need the host to re-send it (and a negative offset would
+        # rewrite already-rendered audio).
+        return max(0, min(int(offset), self.block - 1))
 
     def set_volume(self, v: float):
         self._volume = float(v)
@@ -169,47 +221,43 @@ class FastEngine:
             silence, interpret=self.interpret, t_tile=self.t_tile)
 
     def precompile(self):
-        """Compile both kernels CONCURRENTLY and settle the chain.
+        """Compile the fused block program and the warm-up shape
+        CONCURRENTLY, then settle the chain.
 
-        The voice-events kernel and the mono-chain kernel compile on
-        the remote helper independently (~30-40 s each over the
-        tunnel); overlapping them makes startup ≈ max, not sum, of the
-        two — the first-note-latency budget. The throwaway voice render
-        uses its own params/state and never touches session state."""
+        The block program (voice kernel + lane sum + chain kernel under
+        ONE jit) and the warm-up-length chain program compile on the
+        remote helper independently (~30-40 s each over the tunnel);
+        overlapping them makes startup ≈ max, not sum, of the two — the
+        first-note-latency budget. The throwaway block call uses its own
+        params/state copies and never touches session state."""
         from concurrent.futures import ThreadPoolExecutor
 
         import jax
         import jax.numpy as jnp
 
-        def compile_voice():
+        def compile_block():
             with jax.default_device(mc._cpu_device()):
                 params, _ = vb.make_kernel_params(
                     self._midis, self._vels, self.sample_rate,
                     onsets=self._onsets, releases=self._releases,
                     lanes=LANES, n_active=0)
-            voices, _ = vb.render_voice_bank(
-                jnp.asarray(np.asarray(params)), self.block,
-                interpret=self.interpret, steady=None, n0=0,
-                return_state=True, events=True, min_release=0.0)
-            jax.block_until_ready(voices)
-
-        def compile_chain():
-            self.warm_up()
-            # the chain kernel compiles per render LENGTH — the warm-up
-            # shape and the per-block shape are different programs, so
-            # compile the block shape too (throwaway state copy)
-            silence = jnp.zeros((self.block, 1), jnp.float32)
-            out, _ = mc.render_tpu(
-                self.sample_rate, self._controls(),
-                jnp.asarray(np.asarray(self._chain_state)), silence,
-                interpret=self.interpret, t_tile=self.t_tile)
+                params = np.asarray(params)
+                ctrl = self._controls()
+                chain0 = jnp.asarray(mc.init_state(self.sample_rate, 1))
+            out, _, _ = self._block_fn(
+                jnp.asarray(params),
+                ctrl, jnp.asarray(vb.init_bank_state(params)), chain0,
+                jnp.asarray(0, jnp.int32))
             jax.block_until_ready(out)
 
+        def compile_warm():
+            self.warm_up()
+
         with ThreadPoolExecutor(max_workers=2) as ex:
-            fv = ex.submit(compile_voice)
-            fc = ex.submit(compile_chain)
-            fv.result()
-            fc.result()
+            fb = ex.submit(compile_block)
+            fw = ex.submit(compile_warm)
+            fb.result()
+            fw.result()
 
     def render(self, num_samples: int) -> np.ndarray:
         """Render the next num_samples mono f32 samples."""
@@ -222,7 +270,12 @@ class FastEngine:
                 self._surplus = self._surplus[take:]
                 n -= take
                 continue
-            self._surplus = self._render_block()
+            # Keep `lookahead` extra blocks in flight BEFORE blocking on
+            # the oldest one's transfer: the device renders block N+1
+            # while block N crosses the tunnel.
+            while len(self._inflight) < 1 + self.lookahead:
+                self._inflight.append(self._dispatch_block())
+            self._surplus = np.asarray(self._inflight.pop(0))
         return (np.concatenate(out) if out
                 else np.zeros(0, dtype=np.float32))
 
@@ -242,6 +295,7 @@ class FastEngine:
         self._vstate = None
         self._horizon = 0
         self._surplus = np.zeros(0, dtype=np.float32)
+        self._inflight = []
         with jax.default_device(mc._cpu_device()):
             self._chain_state = jax.numpy.asarray(
                 mc.init_state(self.sample_rate, 1))
@@ -305,26 +359,20 @@ class FastEngine:
         self._vstate = jnp.asarray(vstate)
         self._params_dirty = False
 
-    def _render_block(self) -> np.ndarray:
+    def _dispatch_block(self):
+        """Dispatch one block's fused program; returns the DEVICE output
+        array (async — the host does not block here). steady=None and
+        min_release=0.0 keep the kernel's compile key fixed across note
+        events; the always-on onset/noise/damper arithmetic they skip
+        is noise at 128 lanes. Silent sessions run the same program on
+        the all-silent param pack (zero-amplitude voices emit exact
+        0.0), so the whole engine is ONE compiled program."""
         import jax.numpy as jnp
 
-        t = self.block
-        if self._n_used == 0:
-            audio = jnp.zeros((t, 1), jnp.float32)
-        else:
-            if self._params_dirty:
-                self._repack()
-            # steady=None and min_release=0.0 keep the kernel's compile
-            # key fixed across note events (both are static trace args);
-            # the always-on onset/noise/damper arithmetic they skip is
-            # noise at 128 lanes.
-            voices, self._vstate = vb.render_voice_bank(
-                self._params, t, interpret=self.interpret,
-                steady=None, state=self._vstate, n0=self._horizon,
-                return_state=True, events=True, min_release=0.0)
-            audio = voices.sum(-1, keepdims=True)
-        out, self._chain_state = mc.render_tpu(
-            self.sample_rate, self._controls(), self._chain_state,
-            audio, interpret=self.interpret, t_tile=self.t_tile)
-        self._horizon += t
-        return np.asarray(out[:, 0])
+        if self._params_dirty or self._params is None:
+            self._repack()
+        out, self._vstate, self._chain_state = self._block_fn(
+            self._params, self._controls(), self._vstate,
+            self._chain_state, jnp.asarray(self._horizon, jnp.int32))
+        self._horizon += self.block
+        return out

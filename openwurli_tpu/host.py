@@ -113,11 +113,16 @@ class FastWurliPlugin:
     backed by openwurli_tpu.fast_engine (one-time kernel compile, then
     ~100 ms/block dispatch over a tunneled device) instead of the f64
     scan engine (~6 min compile). Trade-offs inherited from FastEngine:
-    events quantize to its internal 1024-sample block grid rather than
-    sample-accurate sub-block splits, controls are static per block (no
-    5 ms smoothing), and authentic_noise / noise_level are inert (the
-    kernels model the reference's default no-noise build; circuit noise
-    lives on the melange f64 path only).
+    controls are static per block (no 5 ms smoothing), and
+    authentic_noise / noise_level are inert (the kernels model the
+    reference's default no-noise build; circuit noise lives on the
+    melange f64 path only). Event placement is sample-accurate up to
+    the kernel's 16-sample jitter grid (events forward their block
+    offsets into FastEngine; reference sub-block splitting is plugin
+    lib.rs:128-153) as long as process() block sizes keep the engine's
+    internal 1024-sample blocks aligned — with an odd-sized surplus
+    buffered, an event inside the already-rendered surplus slips to the
+    next internal boundary (≤ 23 ms, the old behavior for all events).
     """
 
     CLAP_ID = WurliPlugin.CLAP_ID
@@ -128,14 +133,17 @@ class FastWurliPlugin:
         self._engine_kw = dict(engine_kw)
         self.engine = FastEngine(sample_rate, **engine_kw)
         self.params = WurliParams()
+        self._pos = 0  # stream samples handed out via process()
 
     def set_sample_rate(self, sr: float):
         from openwurli_tpu.fast_engine import FastEngine
 
         self.engine = FastEngine(sr, **self._engine_kw)
+        self._pos = 0
 
     def reset(self):
         self.engine.reset()
+        self._pos = 0
 
     def precompile(self):
         self.engine.precompile()
@@ -146,35 +154,46 @@ class FastWurliPlugin:
         e.set_tremolo_depth(self.params.tremolo_depth)
         e.set_speaker_character(self.params.speaker_character)
 
-    def _dispatch(self, ev: MidiEvent):
+    def _dispatch(self, ev: MidiEvent, offset: int = 0):
         if ev.kind == "note_on":
             if ev.velocity > 0:
-                self.engine.note_on(ev.note, ev.velocity)
+                self.engine.note_on(ev.note, ev.velocity, offset=offset)
             else:
-                self.engine.note_off(ev.note)
+                self.engine.note_off(ev.note, offset=offset)
         elif ev.kind == "note_off":
-            self.engine.note_off(ev.note)
+            self.engine.note_off(ev.note, offset=offset)
         elif ev.kind == "cc" and ev.cc == 64:
-            self.engine.set_sustain(ev.value >= 64)
+            self.engine.set_sustain(ev.value >= 64, offset=offset)
 
     def process(self, num_samples: int,
                 events: Sequence[MidiEvent] = ()) -> np.ndarray:
         """Render one block → (num_samples, 2) float32 (stereo fan-out).
 
-        Events dispatch at their offsets, but take audible effect at
-        FastEngine's next internal block boundary (≤ ~23 ms later)."""
+        Each event is dispatched BEFORE the audio containing it renders,
+        carrying its in-block sample offset into FastEngine — placement
+        is exact up to the kernel's 16-sample jitter grid whenever the
+        event's engine-internal block has not rendered yet (see the
+        class docstring for the surplus caveat)."""
         self._sync_params()
-        events = sorted(events, key=lambda ev: ev.sample_offset)
+        n = int(num_samples)
+        pos = self._pos
+        blk = self.engine.block
         chunks = []
         cursor = 0
-        for ev in events:
-            off = min(max(int(ev.sample_offset), cursor), num_samples)
-            if off > cursor:
-                chunks.append(self.engine.render(off - cursor))
-                cursor = off
-            self._dispatch(ev)
-        if cursor < num_samples:
-            chunks.append(self.engine.render(num_samples - cursor))
+        for ev in sorted(events, key=lambda e: e.sample_offset):
+            off = min(max(int(ev.sample_offset), 0), max(n - 1, 0))
+            q = pos + off  # absolute stream sample of the event
+            # Emit audio up to the engine-block boundary containing the
+            # event (never past the event itself) so the event's offset
+            # addresses the engine's next un-rendered block.
+            off_b = max(cursor, min(off, q // blk * blk - pos))
+            if off_b > cursor:
+                chunks.append(self.engine.render(off_b - cursor))
+                cursor = off_b
+            self._dispatch(ev, max(0, q - self.engine._horizon))
+        if cursor < n:
+            chunks.append(self.engine.render(n - cursor))
+        self._pos = pos + n
         mono = (np.concatenate(chunks) if chunks
                 else np.zeros(0, dtype=np.float32))
         return np.repeat(mono[:, None], 2, axis=1)

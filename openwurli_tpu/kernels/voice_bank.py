@@ -89,6 +89,11 @@ def _lcg(st):
 # 5: level 3 with every pl.when predicate pinned false (branches
 # present, never taken). 6: level 3 with the branches REMOVED from the
 # trace — separates Mosaic's branch-presence cost from taken-path cost.
+# 7: level 3 without the per-sub-step cross-sublane reduce (acc stays
+# (8, V)) — isolates the mode-reduce cost. 8: level 3 with the jitter
+# branch doing LCG+drift only (stale powers) — isolates _refresh_powers.
+# 9: level 3 without the per-sub-step env update (env advanced only at
+# group end) — isolates the serial env chain.
 VB_KO = 0
 
 
@@ -313,7 +318,8 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             else:
                 drift_ref[:] = new_drift
                 irng_ref[0:1, :] = st_out
-            _refresh_powers()
+            if VB_KO != 8:
+                _refresh_powers()
 
         if VB_KO != 6:
             pl.when((n_g & (JITTER_SUBSAMPLE - 1))
@@ -398,8 +404,12 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             pl.when(n_f0 < jnp.float32(steady[1]) if VB_KO != 5
                     else n_f0 < jnp.float32(-1.0))(_noise_group)
 
-        acc = jnp.zeros((1, s0.shape[-1]), jnp.float32) \
-            if VB_KO in (2, 3, 5, 6) else None
+        if VB_KO == 7:
+            acc = jnp.zeros((SUBLANES, s0.shape[-1]), jnp.float32)
+        elif VB_KO in (2, 3, 5, 6, 8, 9):
+            acc = jnp.zeros((1, s0.shape[-1]), jnp.float32)
+        else:
+            acc = None
         for j in range(UNROLL):
             n_f = n_f0 + jnp.float32(j)
             if events:
@@ -453,12 +463,14 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                     # values live on the Mosaic stack at once and blows
                     # the 16 MB VMEM budget.
                     stage_ref[j:j + 1, :] = mraw
+            elif VB_KO == 7:
+                acc = acc + sj
             elif VB_KO >= 3:
                 acc = acc + jnp.sum(sj, axis=0, keepdims=True)
 
             if events:
                 env = jnp.where(active0, env - env * decaym1, env)
-            else:
+            elif VB_KO != 9:
                 env = env - env * decaym1
 
         # Group-end state advance by R^UNROLL (c only needs updating
@@ -475,7 +487,10 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             c_ref[:] = c0 + d_c
         env_ref[:] = env
 
-        if VB_KO in (3, 5, 6):
+        if VB_KO == 7:
+            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = acc
+            return n_f0 + jnp.float32(UNROLL)
+        if VB_KO in (3, 5, 6, 8, 9):
             out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
                 jnp.broadcast_to(acc, (UNROLL, acc.shape[-1]))
             return n_f0 + jnp.float32(UNROLL)
@@ -622,7 +637,10 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
 
     state/n0: carry state across block-streamed calls (state from a
     previous call's return_state=True, n0 = global start sample, a
-    multiple of 16). events: force the event path on/off (default: auto
+    multiple of 16). n0 may be a jax scalar/tracer (int32): block-
+    streaming loops then compile ONE program for all blocks instead of
+    one per start offset — callers are responsible for the multiple-of-
+    16 contract the int path asserts. events: force the event path on/off (default: auto
     from the params schedule); min_release: earliest possible release
     sample (default: auto). Pass BOTH explicitly in hot loops when
     params lives on-device — the auto-detect reads schedule rows back to
@@ -641,8 +659,11 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
         min_rel = _min_release(params)
     else:
         min_rel = float(min_release)
-    assert n0 % JITTER_SUBSAMPLE == 0, n0
+    if isinstance(n0, (int, np.integer)):
+        assert n0 % JITTER_SUBSAMPLE == 0, n0
     with jax.enable_x64(False):
+        n0i = jnp.asarray(n0, jnp.int32).reshape(1)
+        n0f = n0i.astype(jnp.float32)  # exact to 2^24 samples (≈ 380 s)
         lanes = params.shape[-1]
         if state is None:
             state = init_bank_state(params)
@@ -653,9 +674,7 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
         max_lanes = 4096
         if lanes <= max_lanes:
             out, st = _render_voice_bank_jit(
-                jnp.asarray(params), jnp.asarray(state),
-                jnp.asarray([n0], jnp.int32),
-                jnp.asarray([n0], jnp.float32),
+                jnp.asarray(params), jnp.asarray(state), n0i, n0f,
                 num_samples, interpret, steady, bool(events),
                 float(min_rel), return_state)
             return (out, st) if return_state else out
@@ -665,9 +684,7 @@ def render_voice_bank(params, num_samples: int, interpret: bool = False,
         for i in range(0, lanes, max_lanes):
             o, s = _render_voice_bank_jit(
                 jnp.asarray(params[..., i:i + max_lanes]),
-                jnp.asarray(state[..., i:i + max_lanes]),
-                jnp.asarray([n0], jnp.int32),
-                jnp.asarray([n0], jnp.float32),
+                jnp.asarray(state[..., i:i + max_lanes]), n0i, n0f,
                 num_samples, interpret, steady, bool(events),
                 float(min_rel), return_state)
             outs.append(o)

@@ -54,6 +54,53 @@ def test_session_matches_render_events_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_midblock_event_offsets_bit_exact():
+    """Events placed INSIDE a block via the offset argument match the
+    batch renderer given the same absolute sample positions — the
+    ≤16-sample placement story (the old path quantized everything to
+    the ~23 ms block grid; the kernel always supported arbitrary
+    onset/release samples, the quantization was host policy)."""
+    eng = _mk()
+    eng.warm_up()
+    blk = eng.block
+
+    out = []
+    eng.note_on(60, 0.9, offset=48)          # mid-block onset
+    out.append(eng.render(blk))              # block 0
+    eng.note_on(64, 0.7, offset=blk - 16)    # near block end
+    out.append(eng.render(blk))              # block 1
+    eng.note_off(60, offset=100)             # mid-block release
+    eng.set_sustain(True)
+    out.append(eng.render(blk))              # block 2
+    eng.note_off(64)                         # pedal-held
+    eng.set_sustain(False, offset=32)        # pedal lift mid-block 3
+    out.append(eng.render(2 * blk))          # blocks 3-4
+    got = np.concatenate(out)
+
+    midis = np.array([60.0, 64.0])
+    vels = np.array([0.9, 0.7])
+    onsets = np.array([48.0, 1.0 * blk + (blk - 16)])
+    releases = np.array([2.0 * blk + 100, 3.0 * blk + 32])
+    want = fast.render_events(midis, vels, onsets, releases,
+                              seconds=5 * blk / SR, sample_rate=SR,
+                              warm_seconds=0.6, block_seconds=blk / SR,
+                              interpret=True, t_tile=32)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
+def test_event_offset_clipping():
+    """Offsets clamp to the next un-rendered block: negative → 0,
+    past-block → block-1 (the host must re-send farther-future events)."""
+    eng = _mk()
+    eng.note_on(60, 0.9, offset=-100)
+    assert eng._onsets[0] == 0.0
+    eng.note_on(64, 0.9, offset=10 * eng.block)
+    assert eng._onsets[1] == eng.block - 1
+    out = eng.render(eng.block)
+    assert np.isfinite(out).all()
+
+
 def test_restrike_damps_old_instance():
     """Re-striking a ringing note damps the old lane (engine.rs
     note_on re-strike semantics) — the restruck render must not blow up

@@ -57,11 +57,19 @@ def main():
         min_rel = vb._min_release(pp_np)
         ppd = jnp.asarray(pp)
 
-        def run():
+        # ONE jitted program per timed call (kernel + checksum): eager
+        # per-call ops (state init, chunk slicing) each cost a ~27 ms
+        # tunnel dispatch — round 4 measured ~0.23 s/call of pure
+        # dispatch overhead at 8192 lanes, dwarfing the kernel.
+        @jax.jit
+        def prog():
             out = vb.render_voice_bank(ppd, total, steady=steady,
                                        events=events,
                                        min_release=min_rel)
-            return float(jnp.sum(out))
+            return jnp.sum(out)
+
+        def run():
+            return float(prog())
 
         t0 = time.time()
         chk = run()
