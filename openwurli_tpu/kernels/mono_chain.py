@@ -58,16 +58,25 @@ from openwurli_tpu.ops import allpass, biquad
 # drive, −44 dB at note level, tests/test_mono_chain.py).
 TREM_SUB_OS = 4
 SUB_BASE = TREM_SUB_OS // 2  # in base samples
+# 8 full-Newton iterations. Round 5 measured the FULL-CHAIN fixed-
+# trajectory parity identical at 6 (the chain's PA drive keeps every
+# stream in the quadratic basin by then), but the STAGE-ALONE gate
+# (direct 1 kHz drive, test_power_amp_stage_parity) collapses −82 → −33
+# dB at 6 and −70 → −46 dB at 7 for amp 0.2 — the convergence cliff is
+# drive-dependent, so the robust budget stays 8. Chord remainders
+# (reference gen_power_amp.rs "chord refactor" strategy) stay rejected:
+# the Gummel-Poon gm changes ~50×/0.1 V, so chord steps with a stale
+# Jacobian overshoot — even two chord tail iterations cost ~20 dB of
+# stage parity at high drive (measured). The speed win here came from
+# UNROLLING the NR loop (fori array carries cost ~2 µs/iteration each
+# in Mosaic).
 N_PA_ITERS = 8
-# Full-Newton iterations; any remainder reuses the last LU factors
-# (chord, reference gen_power_amp.rs "chord refactor" strategy). The
-# Gummel-Poon gm changes ~50×/0.1 V, so chord steps with a stale
-# Jacobian overshoot: even two chord tail iterations cost ~20 dB of
-# stage parity at high drive (measured). Default: all-full Newton; the
-# speed win here came from UNROLLING the NR loop (fori array carries
-# cost ~2 µs/iteration each in Mosaic).
 PA_REFRESH_ITERS = tuple(range(N_PA_ITERS))
-N_PRE_ITERS = 3
+# 5 preamp NR iterations (was 3): +1.8 dB of fixed-trajectory full-chain
+# parity (−53.2 → −55.0 asymptote at 8+, −54.2 at 5; pa_floor_probe) for
+# two extra 2×2 solves per oversampled sample — noise next to the PA's
+# 16-port GE.
+N_PRE_ITERS = 5
 N_TREM_ITERS = 3
 PA_CONV_TOL = 1e-4   # NR mask: recentred-residual f32 noise floor is ~1e-5
 # Reduced-system NR: only these ports are pivoted in the Newton solve;
@@ -166,6 +175,34 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
     s_e1c1 = s_base[:, E1] - s_base[:, C1]
     s_e2c2 = s_base[:, E2] - s_base[:, C2]
     A["pre_cols"] = np.stack([sfb, s_b1, s_e1c1, s_e2c2], axis=1).astype(f32)
+
+    # Differenced port-drive rows, f64 at pack time: the NR port drives
+    # are p0 = (B1 − E1) and p1 = (C1 − E2) contractions of the node
+    # predictor. Forming the full ±80 V pump-scale node rows in f32 and
+    # differencing LAST rounds every term at ulp(80 V) ≈ 6 µV — the
+    # measured fixed-trajectory floor (−54 dB; tools/pa_floor_probe.py
+    # seg64 bisect: the "pred" chain alone in f64 recovers −62 dB).
+    # Differencing the COEFFICIENTS first (exact, f64, here) keeps every
+    # runtime product/sum at signal scale; algebraically identical.
+    sap = np.zeros((4, 16))
+    sap[0, 0:8] = sa8[B1] - sa8[E1]
+    sap[1, 0:8] = sa8[C1] - sa8[E2]
+    sap[2, 8:16] = sa8[B1] - sa8[E1]
+    sap[3, 8:16] = sa8[C1] - sa8[E2]
+    A["pre_SA_p"] = sap.astype(f32)
+    # Dekker pre-split of the injection columns (12+12 mantissa bits,
+    # f32 semantics) for the compensated pb accumulation — see
+    # preamp_step. Split computed with f32 numpy ops so it matches the
+    # in-kernel _split12 exactly.
+    _v = A["pre_cols"]
+    _t = (_v * np.float32(4097.0)).astype(f32)
+    _hi = (_t - (_t - _v).astype(f32)).astype(f32)
+    A["pre_cols_hi"] = _hi
+    A["pre_cols_lo"] = (_v - _hi).astype(f32)
+    for nm, col in (("cfb", sfb), ("cb1", s_b1), ("ce1", s_e1c1),
+                    ("ce2", s_e2c2)):
+        S[f"pre_{nm}_p0"] = float(col[B1] - col[E1])
+        S[f"pre_{nm}_p1"] = float(col[C1] - col[E2])
 
     # DC fixed point of the discrete step (for the deviation origin checks)
     j_dc = float(pp.g_cin) * v_dc[B1]
@@ -366,9 +403,11 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
     return ChainConsts(arrays=A, scalars=S)
 
 
-ARRAY_NAMES = ("pre_SA", "pre_cols", "pa_P", "pa_K", "pa_cols", "pa_nvcols",
-               "pa_gp", "eye16", "pa_elim_mask", "pa_upper_mask", "trem_P",
-               "trem_K", "trem_cols", "trem_gp", "eye4")
+ARRAY_NAMES = ("pre_SA", "pre_SA_p", "pre_cols", "pre_cols_hi",
+               "pre_cols_lo", "pa_P", "pa_K",
+               "pa_cols", "pa_nvcols", "pa_gp", "eye16", "pa_elim_mask",
+               "pa_upper_mask", "trem_P", "trem_K", "trem_cols",
+               "trem_gp", "eye4")
 
 
 # ───────────────────────── state packing ─────────────────────────────────
@@ -652,6 +691,32 @@ def _ge_solve_ports(cols, rhs, order, releg, elim_mask, upper_mask):
     return jnp.concatenate(xs, axis=0)
 
 
+def _two_sum(a, b):
+    """Error-free a+b → (sum, err) (Knuth). Contraction-safe: no
+    products, and XLA/Mosaic do not reassociate float adds."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _split12(x):
+    """Dekker split of an f32 value into 12+12 mantissa-bit halves."""
+    t = x * 4097.0  # 2^12 + 1
+    hi = t - (t - x)
+    return hi, x - hi
+
+
+def _prod_err(a_hi, a_lo, b, p):
+    """Exact f32 rounding error of p = (a_hi+a_lo)·b, with the constant
+    factor pre-split (a_hi/a_lo from pack time). Every partial product
+    below is ≤24 mantissa bits → exact in f32, so FMA contraction of any
+    sub-expression cannot change the result (Dekker, constant-presplit
+    form)."""
+    b_hi, b_lo = _split12(b)
+    return (((a_hi * b_hi - p) + a_hi * b_lo) + a_lo * b_hi) \
+        + a_lo * b_lo
+
+
 def _pnjlim(v_old, v_new, nvt, vcrit):
     """SPICE junction limiting (see mna.pnjlim) — kernel f32 variant.
 
@@ -870,6 +935,17 @@ def _trem_preroll_jit(base_sr, controls, state_flat, n_captures,
     return out[:, :19, 0]
 
 
+# Attribution flags (tools/pa_floor_probe.py, CPU-only — Mosaic has no
+# f64): segments of preamp_step upcast to f64. The step64/carry32 probe
+# showed the −54 dB fixed-trajectory floor is IN-STEP preamp rounding
+# (not state-carry storage); these bisect which segment so the f32
+# kernel fix (compensated arithmetic) can be surgical.
+# Segments: "lin" (the whole linear chain), or its thirds: "sad" (the
+# SA@d matvec only), "pred" (SM-correction chain → NR port drives
+# p0/p1), "dn" (node-update accumulation); "nr" (junction NR solve).
+PRE_STEP64: frozenset = frozenset()
+
+
 def preamp_step(c, sc, st, u_main, gldr):
     """Twin DK preamp, one oversampled sample. u_main (1,S); shadow = 0.
     Returns (st, out) with out = main − shadow (1,S).
@@ -885,45 +961,179 @@ def preamp_step(c, sc, st, u_main, gldr):
     B1, E1, C1, E2, C2, OUT, FB = (dkp.BASE1, dkp.EMIT1, dkp.COLL1,
                                    dkp.EMIT2, dkp.COLL2, dkp.OUT, dkp.FB)
     VT, IS, VMAX = dkp.VT, dkp.IS, dkp.VBE_MAX
-    d = st["pre_d"]
-    d_sh, d_df = d[0:8], d[8:16]
-    gprev = st["pre_gldr"]
-    cols = c["pre_cols"]
+    lin64 = "lin" in PRE_STEP64   # probe-only (CPU): see PRE_STEP64
+    nr64 = "nr" in PRE_STEP64
+    sad64 = lin64 or "sad" in PRE_STEP64
+    pred64 = lin64 or "pred" in PRE_STEP64
+    dn64 = lin64 or "dn" in PRE_STEP64
+    # one level finer: just the smk → kc00..kc11 NR-coefficient chain in
+    # f64 (rounded to f32 before the NR) — isolates the k − smk·nv·sfb
+    # cancellation from the rest of the pred chain
+    kc64 = "kc" in PRE_STEP64
+    # and just the tpart (smk−smk0 recentring) term
+    tpart64 = "tpart" in PRE_STEP64
+    # just the differenced port-drive contraction SA_p @ d in f64,
+    # result rounded to f32 (the pump-scale cancellation lives INSIDE
+    # that dot: d carries ±80 V while the contraction is ~0.6 V)
+    psad64 = "psad" in PRE_STEP64
+    # just the c_fb/c_b1 correction terms in f64 (rounded after)
+    cfb64 = "cfb" in PRE_STEP64
+    # the full pb accumulation + tpart in f64 (tpart rounded after)
+    tpfull64 = "tpfull" in PRE_STEP64
+    up64 = lambda x: jnp.asarray(x, jnp.float64)           # noqa: E731
+    cl = up64 if lin64 else (lambda x: x)
+    cp = up64 if pred64 else (lambda x: x)
+    cd = up64 if dn64 else (lambda x: x)
+    d = (up64 if sad64 else (lambda x: x))(st["pre_d"])
+    gprev = cp(st["pre_gldr"])
+    gldr = cp(gldr)
+    u_main = cp(u_main)
+    cols = cl(c["pre_cols"])
     col_fb, col_b1 = _col(cols, 0), _col(cols, 1)
     col_e1c1, col_e2c2 = _col(cols, 2), _col(cols, 3)
 
-    sad = jnp.dot(c["pre_SA"], d, preferred_element_type=jnp.float32,
+    sad = jnp.dot((up64 if sad64 else (lambda x: x))(c["pre_SA"]), d,
+                  preferred_element_type=d.dtype,
                   precision=jax.lax.Precision.HIGHEST)
-    dj, dpv, dic = st["pre_dj"], st["pre_dprev"], st["pre_dic"]
-    c_fb_sh = -(gprev * d_sh[FB:FB + 1] + (gprev - sc["pre_g0"])
-                * sc["pre_vdcfb"])
-    c_b1_sh = dj[0:1] + dpv[0:1]
-    pb_sh = (sad[0:8] + col_fb * c_fb_sh + col_b1 * c_b1_sh
-             + col_e1c1 * dic[0:1] + col_e2c2 * dic[2:3])
-    c_fb_df = -gprev * d_df[FB:FB + 1]
-    c_b1_df = sc["pre_gcin"] * u_main + dj[1:2] + dpv[1:2]
-    pb_df = (sad[8:16] + col_fb * c_fb_df + col_b1 * c_b1_df
-             + col_e1c1 * dic[1:2] + col_e2c2 * dic[3:4])
+    if sad64 and not pred64:
+        sad = sad.astype(jnp.float32)
+    d = cp(d.astype(jnp.float32) if d.dtype == jnp.float64 and not pred64
+           else d)
+    d_sh, d_df = d[0:8], d[8:16]
+    sad = cp(sad)
+    dj, dpv, dic = (cp(st["pre_dj"]), cp(st["pre_dprev"]),
+                    cp(st["pre_dic"]))
+    cf = up64 if (cfb64 and not pred64) else (lambda x: x)
+    c_fb_sh = -(cf(gprev) * cf(d_sh[FB:FB + 1])
+                + (cf(gprev) - sc["pre_g0"]) * sc["pre_vdcfb"])
+    c_b1_sh = cf(dj[0:1]) + cf(dpv[0:1])
+    c_fb_df = -cf(gprev) * cf(d_df[FB:FB + 1])
+    c_b1_df = sc["pre_gcin"] * cf(u_main) + cf(dj[1:2]) + cf(dpv[1:2])
+    if cfb64 and not (pred64 or tpfull64):
+        c_fb_sh = c_fb_sh.astype(jnp.float32)
+        c_b1_sh = c_b1_sh.astype(jnp.float32)
+        c_fb_df = c_fb_df.astype(jnp.float32)
+        c_b1_df = c_b1_df.astype(jnp.float32)
+    # pb accumulation, COMPENSATED: the node predictor rows reach pump
+    # scale (±80 V) while their f32 ulp (≈6 µV) seeds the fixed-
+    # trajectory full-chain floor — each of the 4 FMA roundings in the
+    # naive form costs ~2.5 dB (measured; a fully-f64 accumulation
+    # rounded once moves the floor −54 → −63.5 dB, while ANY partial
+    # upcast that breaks the contraction pattern makes it worse,
+    # tools/pa_floor_probe.py round-5 ladder). Dekker products with the
+    # constant factor pre-split at pack time + a TwoSum cascade +
+    # single collapse reproduce the once-rounded result in pure f32.
+    if tpfull64 or pred64:  # probe oracle: true f64 accumulation
+        tp = up64
+        pb_sh = (tp(sad[0:8]) + tp(col_fb) * tp(c_fb_sh)
+                 + tp(col_b1) * tp(c_b1_sh)
+                 + tp(col_e1c1) * tp(dic[0:1])
+                 + tp(col_e2c2) * tp(dic[2:3]))
+        pb_df = (tp(sad[8:16]) + tp(col_fb) * tp(c_fb_df)
+                 + tp(col_b1) * tp(c_b1_df)
+                 + tp(col_e1c1) * tp(dic[1:2])
+                 + tp(col_e2c2) * tp(dic[3:4]))
+    else:
+        ch = c["pre_cols_hi"]
+        clo = c["pre_cols_lo"]
+        splits = [(_col(cols, j), _col(ch, j), _col(clo, j))
+                  for j in range(4)]
+
+        def _pb_comp(sad8, cfs):
+            s = sad8
+            lo = None
+            for (col, col_hi, col_lo), cf in zip(splits, cfs):
+                p = col * cf
+                e = _prod_err(col_hi, col_lo, cf, p)
+                s, e2 = _two_sum(s, p)
+                lo = e + e2 if lo is None else lo + (e + e2)
+            return s + lo
+
+        pb_sh = _pb_comp(sad[0:8],
+                         (c_fb_sh, c_b1_sh, dic[0:1], dic[2:3]))
+        pb_df = _pb_comp(sad[8:16],
+                         (c_fb_df, c_b1_df, dic[1:2], dic[3:4]))
 
     smk = gldr / (1.0 + sc["pre_sfbfb"] * gldr)
-    kc00 = sc["pre_k00"] - smk * (sc["pre_nvsfb0"] * sc["pre_sfbni0"])
-    kc01 = sc["pre_k01"] - smk * (sc["pre_nvsfb0"] * sc["pre_sfbni1"])
-    kc10 = sc["pre_k10"] - smk * (sc["pre_nvsfb1"] * sc["pre_sfbni0"])
-    kc11 = sc["pre_k11"] - smk * (sc["pre_nvsfb1"] * sc["pre_sfbni1"])
+    smk_kc = up64(smk) if (kc64 and smk.dtype != jnp.float64) else smk
+    kc00 = sc["pre_k00"] - smk_kc * (sc["pre_nvsfb0"] * sc["pre_sfbni0"])
+    kc01 = sc["pre_k01"] - smk_kc * (sc["pre_nvsfb0"] * sc["pre_sfbni1"])
+    kc10 = sc["pre_k10"] - smk_kc * (sc["pre_nvsfb1"] * sc["pre_sfbni0"])
+    kc11 = sc["pre_k11"] - smk_kc * (sc["pre_nvsfb1"] * sc["pre_sfbni1"])
+    if kc64 and not (pred64 or nr64):
+        kc00, kc01, kc10, kc11 = (kc00.astype(jnp.float32),
+                                  kc01.astype(jnp.float32),
+                                  kc10.astype(jnp.float32),
+                                  kc11.astype(jnp.float32))
 
-    tpart_sh = smk * pb_sh[FB:FB + 1] + (smk - sc["pre_smk0"]) \
+    smk_tp = up64(smk) if (tpart64 and smk.dtype != jnp.float64) else smk
+    tpart_sh = smk_tp * pb_sh[FB:FB + 1] + (smk_tp - sc["pre_smk0"]) \
         * sc["pre_vpbdcfb"]
+    if tpart64 and not pred64:
+        tpart_sh = tpart_sh.astype(jnp.float32)
+    tpart_df = smk * pb_df[FB:FB + 1]
+    if tpfull64 and not pred64:
+        tpart_sh = tpart_sh.astype(jnp.float32)
+        tpart_df = tpart_df.astype(jnp.float32)
+        pb_sh = pb_sh.astype(jnp.float32)
+        pb_df = pb_df.astype(jnp.float32)
+        c_fb_sh = c_fb_sh.astype(jnp.float32)
+        c_b1_sh = c_b1_sh.astype(jnp.float32)
+        c_fb_df = c_fb_df.astype(jnp.float32)
+        c_b1_df = c_b1_df.astype(jnp.float32)
     pred_sh = pb_sh - tpart_sh * col_fb
-    pred_df = pb_df - (smk * pb_df[FB:FB + 1]) * col_fb
-    p0_sh = sc["pre_pdc0"] + pred_sh[B1:B1 + 1] - pred_sh[E1:E1 + 1]
-    p1_sh = sc["pre_pdc1"] + pred_sh[C1:C1 + 1] - pred_sh[E2:E2 + 1]
-    p0_df = pred_df[B1:B1 + 1] - pred_df[E1:E1 + 1]
-    p1_df = pred_df[C1:C1 + 1] - pred_df[E2:E2 + 1]
+    pred_df = pb_df - tpart_df * col_fb
+
+    # NR port drives via the DIFFERENCED coefficient rows (pre_SA_p /
+    # pre_*_p0/p1, f64 at pack time): algebraically identical to
+    # slicing pred (p0 = pdc0 + pred[B1] − pred[E1]), but no ±80 V
+    # pump-scale intermediate is ever formed in f32 — every product and
+    # sum below is at signal scale. This alone moved the fixed-
+    # trajectory full-chain floor −54 → −61 dB (pa_floor_probe).
+    if psad64 and d.dtype != jnp.float64:
+        p_sad = jnp.dot(up64(c["pre_SA_p"]), up64(d),
+                        preferred_element_type=jnp.float64,
+                        precision=jax.lax.Precision.HIGHEST
+                        ).astype(jnp.float32)
+    else:
+        p_sad = jnp.dot((up64 if pred64 else (lambda x: x))(
+            c["pre_SA_p"]), d, preferred_element_type=d.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+    p0_sh = (sc["pre_pdc0"] + p_sad[0:1]
+             + sc["pre_cfb_p0"] * c_fb_sh + sc["pre_cb1_p0"] * c_b1_sh
+             + sc["pre_ce1_p0"] * dic[0:1] + sc["pre_ce2_p0"] * dic[2:3]
+             - tpart_sh * sc["pre_cfb_p0"])
+    p1_sh = (sc["pre_pdc1"] + p_sad[1:2]
+             + sc["pre_cfb_p1"] * c_fb_sh + sc["pre_cb1_p1"] * c_b1_sh
+             + sc["pre_ce1_p1"] * dic[0:1] + sc["pre_ce2_p1"] * dic[2:3]
+             - tpart_sh * sc["pre_cfb_p1"])
+    p0_df = (p_sad[2:3]
+             + sc["pre_cfb_p0"] * c_fb_df + sc["pre_cb1_p0"] * c_b1_df
+             + sc["pre_ce1_p0"] * dic[1:2] + sc["pre_ce2_p0"] * dic[3:4]
+             - tpart_df * sc["pre_cfb_p0"])
+    p1_df = (p_sad[3:4]
+             + sc["pre_cfb_p1"] * c_fb_df + sc["pre_cb1_p1"] * c_b1_df
+             + sc["pre_ce1_p1"] * dic[1:2] + sc["pre_ce2_p1"] * dic[3:4]
+             - tpart_df * sc["pre_cfb_p1"])
     p0 = jnp.concatenate([p0_sh + p0_df, p0_sh], axis=0)  # [main, shadow]
     p1 = jnp.concatenate([p1_sh + p1_df, p1_sh], axis=0)
 
+    if nr64 and p0.dtype != jnp.float64:
+        p0, p1 = (jnp.asarray(p0, jnp.float64),
+                  jnp.asarray(p1, jnp.float64))
+    elif p0.dtype == jnp.float64 and not nr64:
+        p0, p1 = p0.astype(jnp.float32), p1.astype(jnp.float32)
+    if pred64 and not dn64:
+        pred_sh = pred_sh.astype(jnp.float32)
+        pred_df = pred_df.astype(jnp.float32)
+        smk = smk.astype(jnp.float32)
+    elif dn64:
+        pred_sh, pred_df, smk = up64(pred_sh), up64(pred_df), up64(smk)
     vnl0 = st["pre_vnl"][0:2]
     vnl1 = st["pre_vnl"][2:4]
+    if nr64:
+        vnl0 = jnp.asarray(vnl0, jnp.float64)
+        vnl1 = jnp.asarray(vnl1, jnp.float64)
     for _ in range(N_PRE_ITERS):
         e0 = jnp.exp(jnp.clip(vnl0, -1.0, VMAX) * (1.0 / VT))
         e1 = jnp.exp(jnp.clip(vnl1, -1.0, VMAX) * (1.0 / VT))
@@ -946,6 +1156,11 @@ def preamp_step(c, sc, st, u_main, gldr):
     ef1 = jnp.exp(jnp.clip(vnl1, -1.0, VMAX) * (1.0 / VT))
     icn0 = IS * (ef0 - 1.0)   # (2,S) [main, shadow]
     icn1 = IS * (ef1 - 1.0)
+    if nr64 and not lin64:
+        # keep the bisect clean: nr64 measures the SOLVE's precision
+        # only; currents feeding the (f32) node update round back here
+        icn0 = icn0.astype(jnp.float32)
+        icn1 = icn1.astype(jnp.float32)
 
     i0_sh, i1_sh = icn0[1:2], icn1[1:2]
     di0 = icn0[0:1] - i0_sh   # main − shadow (signal scale)
@@ -963,15 +1178,18 @@ def preamp_step(c, sc, st, u_main, gldr):
     dprev_sh = dj[0:1]
     dprev_df = sc["pre_gcin"] * u_main + dj[1:2]
 
+    f32c = ((lambda x: x.astype(jnp.float32)) if PRE_STEP64
+            else (lambda x: x))
     st = dict(st)
-    st["pre_d"] = jnp.concatenate([dn_sh, dn_df], axis=0)
-    st["pre_vnl"] = jnp.concatenate([vnl0, vnl1], axis=0)
-    st["pre_dic"] = jnp.concatenate(
-        [i0_sh - sc["pre_idc0"], di0, i1_sh - sc["pre_idc1"], di1], axis=0)
-    st["pre_dj"] = jnp.concatenate([dj_sh, dj_df], axis=0)
-    st["pre_dprev"] = jnp.concatenate([dprev_sh, dprev_df], axis=0)
-    st["pre_gldr"] = gldr
-    return st, dn_df[OUT:OUT + 1]
+    st["pre_d"] = f32c(jnp.concatenate([dn_sh, dn_df], axis=0))
+    st["pre_vnl"] = f32c(jnp.concatenate([vnl0, vnl1], axis=0))
+    st["pre_dic"] = f32c(jnp.concatenate(
+        [i0_sh - sc["pre_idc0"], di0, i1_sh - sc["pre_idc1"], di1],
+        axis=0))
+    st["pre_dj"] = f32c(jnp.concatenate([dj_sh, dj_df], axis=0))
+    st["pre_dprev"] = f32c(jnp.concatenate([dprev_sh, dprev_df], axis=0))
+    st["pre_gldr"] = f32c(gldr)
+    return st, f32c(dn_df[OUT:OUT + 1])
 
 
 def pa_step(c, sc, st, x, rail_sag):

@@ -319,11 +319,15 @@ def test_full_chain_parity_fixed_trajectory():
     """Full chain f32-vs-f64 with the tremolo trajectory BIT-MATCHED
     (an identical f32-representable LDR-conductance sweep drives both
     paths, spanning the full 4–20 kΩ shunt range): with trajectory
-    divergence removed, the kernel tracks the f64 chain to −53 dB
-    relative / −56 dBFS at loud drive — 13 dB past the −40 dB
-    trajectory-dominated headline gate. The remaining error is the
-    power-amp twin's f32 floor (the preamp stage alone sits at −64 dB,
-    test_preamp_stage_parity)."""
+    divergence removed, the kernel tracks the f64 chain to −61 dB
+    relative / −64 dBFS at loud drive — 21 dB past the −40 dB
+    trajectory-dominated headline gate. Round-5 floor work (measured
+    attribution in tools/pa_floor_probe.py): the limiter was the
+    preamp's pump-scale (±80 V) pb accumulation, whose 4 FMA roundings
+    at ulp ≈ 6 µV seeded event-concentrated errors the power amp
+    amplified; the compensated (Dekker + TwoSum) accumulation in
+    kernels/mono_chain.py removes them in pure f32 (f64 oracle:
+    −63.5 dB)."""
     t_len = 8192
     audio = _loud_test_signal(t_len)
     r = 12000 + 8000 * np.sin(2 * np.pi * 5.5 * np.arange(t_len) / BASE_SR)
@@ -357,5 +361,5 @@ def test_full_chain_parity_fixed_trajectory():
     err = (np.asarray(y32).ravel() - y64)[1000:]
     db = _db(err, y64[1000:])
     err_dbfs = 20.0 * np.log10(max(np.sqrt(np.mean(err**2)), 1e-30))
-    assert db < -50.0, f"fixed-trajectory parity {db:.1f} dB"
-    assert err_dbfs < -53.0, f"fixed-trajectory abs {err_dbfs:.1f} dBFS"
+    assert db < -60.0, f"fixed-trajectory parity {db:.1f} dB"
+    assert err_dbfs < -62.0, f"fixed-trajectory abs {err_dbfs:.1f} dBFS"
