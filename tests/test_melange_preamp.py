@@ -135,9 +135,28 @@ def test_noise_off_is_silent_and_on_is_not():
     seg = np.asarray(out_on)[n // 2:]
     rms_on = float(np.sqrt(((seg - seg.mean()) ** 2).mean()))
     assert rms_off < 1e-9, rms_off
-    # Ballpark of the reference's ~34 µV analytic anchor (loose band —
-    # the reference itself ships a tuning knob for this level).
-    assert 5e-6 < rms_on < 1e-3, rms_on
+    assert 3e-6 < rms_on < 2e-5, rms_on  # dark-LDR point, short window
+
+
+def test_noise_level_matches_ngspice_anchor():
+    """Output noise RMS vs the reference's VALIDATED level: the
+    reference's `1.0×` thermal gain is ngspice-validated at **8.08 µV**
+    at the raw preamp output, 88.2 kHz (reference CHANGELOG.md:479-488,
+    superseding the earlier ~34 µV analytic target of
+    dk_preamp/mod.rs:332) at the nominal LDR point (R_ldr = 1/POT_0_G_NOM
+    = 100 kΩ, gen_preamp.rs:1426-1431). Welford-equivalent single-state
+    measurement (dk_preamp/mod.rs:337-445 method B). Measured here:
+    7.54 µV (−7 %); the ±35 % band fails on any mis-scaled noise stamp
+    (a wrong sqrt, kT factor, or per-resistor sigma) while tolerating
+    window-length variance."""
+    params = _params()
+    g = dk.ldr_conductance(100_000.0)
+    n = int(SR * 1.0)
+    xs = jnp.zeros(n)
+    _, out = _run(mp.init_state(params), g, xs, True, 1.0)
+    seg = np.asarray(out)[n // 3:]
+    rms = float(np.sqrt(((seg - seg.mean()) ** 2).mean()))
+    assert 8.08e-6 * 0.65 < rms < 8.08e-6 * 1.35, rms
 
 
 def test_noise_gain_scales():
