@@ -36,9 +36,9 @@ import numpy as np
 from openwurli_tpu.host import FastWurliPlugin, MidiEvent, WurliPlugin
 
 
-def _make_plugin(sample_rate, engine):
+def _make_plugin(sample_rate, engine, lookahead=0):
     if engine == "fast":
-        p = FastWurliPlugin(sample_rate)
+        p = FastWurliPlugin(sample_rate, lookahead=lookahead)
         p.precompile()
         return p
     return WurliPlugin(sample_rate)
@@ -47,8 +47,9 @@ def _make_plugin(sample_rate, engine):
 class StreamHost:
     """NDJSON-control / raw-PCM-data streaming server."""
 
-    def __init__(self, sample_rate=44100.0, block=4096, engine="f64"):
-        self.plugin = _make_plugin(sample_rate, engine)
+    def __init__(self, sample_rate=44100.0, block=4096, engine="f64",
+                 lookahead=0):
+        self.plugin = _make_plugin(sample_rate, engine, lookahead)
         self.block = int(block)
         self.pending = []
 
@@ -159,6 +160,11 @@ def main(argv=None):
                    help="f64 scan engine (reference-accurate) or the "
                         "fused-kernel FastEngine (one-time compile, "
                         "interactive dispatch; fast-path parity)")
+    p.add_argument("--lookahead", type=int, default=1,
+                   help="fast engine only: blocks dispatched ahead of "
+                        "the transfer being waited on (overlaps device "
+                        "compute with tunnel round-trips; events land "
+                        "lookahead blocks later)")
     p.add_argument("--tail", type=float, default=2.0)
     p.add_argument("-o", "--output", default="-",
                    help="'-' = stdout (raw PCM), else .wav path")
@@ -174,7 +180,9 @@ def main(argv=None):
         close = args.output
 
     if args.serve:
-        StreamHost(args.sr, args.block, args.engine).serve(sys.stdin, out)
+        StreamHost(args.sr, args.block, args.engine,
+                   args.lookahead if args.engine == "fast" else 0
+                   ).serve(sys.stdin, out)
     elif args.midi:
         play_midi(args.midi, out, args.sr, args.block, args.realtime,
                   args.tail, engine=args.engine)

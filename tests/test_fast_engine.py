@@ -89,6 +89,42 @@ def test_midblock_event_offsets_bit_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_lookahead_pipelining_bit_exact():
+    """lookahead=k dispatches k extra blocks before blocking on a
+    transfer (overlaps device compute with tunnel RTT). With the same
+    schedule — events issued before the blocks they land in are
+    DISPATCHED — the audio must be bit-identical to lookahead=0; and an
+    event issued after its block went in-flight lands k blocks later
+    (the documented latency cost), never corrupting dispatched audio."""
+    a = _mk(lookahead=0)
+    b = _mk(lookahead=2)
+    for e in (a, b):
+        e.warm_up()
+        e.note_on(60, 0.9, offset=48)
+    got_a = a.render(3 * a.block)
+    got_b = b.render(3 * b.block)
+    np.testing.assert_array_equal(got_a, got_b)
+
+    # late event: with lookahead=2, blocks 3-4 are already in flight
+    # when the note_off arrives, so it lands at block 5 (horizon), two
+    # blocks later than the lookahead=0 engine places it.
+    a.note_off(60, offset=16)
+    b.note_off(60, offset=16)
+    assert b._releases[0] == a._releases[0] + 2 * b.block
+    tail_a = a.render(4 * a.block)
+    tail_b = b.render(4 * b.block)
+    assert np.isfinite(tail_a).all() and np.isfinite(tail_b).all()
+    # both engines stay consistent with the batch renderer at their own
+    # release positions
+    for eng, tail in ((a, tail_a), (b, tail_b)):
+        want = fast.render_events(
+            np.array([60.0]), np.array([0.9]), np.array([48.0]),
+            np.array([eng._releases[0]]), seconds=7 * eng.block / SR,
+            sample_rate=SR, warm_seconds=0.6,
+            block_seconds=eng.block / SR, interpret=True, t_tile=32)
+        np.testing.assert_array_equal(tail, want[3 * eng.block:])
+
+
 def test_event_offset_clipping():
     """Offsets clamp to the next un-rendered block: negative → 0,
     past-block → block-1 (the host must re-send farther-future events)."""

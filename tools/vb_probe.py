@@ -3,9 +3,12 @@
 
 Reports ns per lane-sample for the plain (sustained) and events paths —
 the number docs/tpu-architecture.md's roofline tracks (ALU floor is
-~0.05 ns/lane-sample; round 3 measured 0.55).
+~0.05 ns/lane-sample; round 5 measures 0.145 plain / 0.195 events as
+ONE fused program — the rounds-3/4 "0.5-0.9" readings were dominated
+by per-call eager-dispatch overhead over the tunnel, ~0.23 s/call at
+8192 lanes).
 
-    python tools/vb_probe.py --lanes 8192 --samples 44032
+    python tools/vb_probe.py --lanes 8192 --samples 88064
 """
 
 import argparse
