@@ -150,6 +150,41 @@ def _run_fused(streams, sr, reps):
     return rtf, best, compile_s, peak
 
 
+def _child_song():
+    """Secondary metric: full-song time-parallel render RTF (the
+    render-midi --fast path) on a deterministic 36 s pseudo-song —
+    driver-recorded via the stderr tail (round-4 verdict asked for a
+    committed artifact behind the README's song-RTF headline)."""
+    _setup_platforms()
+    import numpy as np
+
+    from openwurli_tpu import fast
+
+    sr = float(os.environ.get("BENCH_SAMPLE_RATE", "44100"))
+    rng = np.random.default_rng(7)
+    seconds = 36.0
+    n_notes = 120
+    onsets = np.sort(rng.uniform(0.5, seconds - 4.0, n_notes)) * sr
+    midis = rng.integers(36, 96, n_notes).astype(np.float64)
+    vels = rng.uniform(0.4, 1.0, n_notes)
+    durs = rng.uniform(0.2, 3.0, n_notes) * sr
+    releases = onsets + durs
+
+    def run():
+        t0 = time.time()
+        out = fast.render_events_parallel(midis, vels, onsets, releases,
+                                          seconds=seconds, sample_rate=sr)
+        peak = float(np.abs(out).max())
+        return time.time() - t0, peak
+
+    cold, peak = run()      # includes compile
+    warm, _ = run()
+    print(json.dumps({"song_s": seconds, "cold_s": round(cold, 2),
+                      "warm_s": round(warm, 2),
+                      "rtf_warm": round(seconds / warm, 2),
+                      "peak": round(peak, 4)}))
+
+
 def _child_probe():
     """Tiny jit on the default (accelerator) platform; exits 0 iff OK."""
     _setup_platforms()
@@ -241,6 +276,9 @@ def main():
     if "--probe" in sys.argv:
         _child_probe()
         return
+    if "--song" in sys.argv:
+        _child_song()
+        return
     if "--rung" in sys.argv:
         _child_rung(int(sys.argv[sys.argv.index("--rung") + 1]))
         return
@@ -289,6 +327,15 @@ def main():
                 _log(f"streams={streams}: rc={rc}: "
                      f"{' | '.join(tail[-2:])[:200]}")
         if ladder_ok:
+            # Secondary driver-recorded metric (stderr tail): the
+            # time-parallel full-song path's RTF. Non-fatal.
+            if not os.environ.get("BENCH_SKIP_SONG"):
+                rc, out, err = _spawn(["--song"], rung_timeout)
+                if rc == 0 and out.strip():
+                    _log(f"song-path (render_events_parallel, 36s): "
+                         f"{out.strip().splitlines()[-1]}")
+                else:
+                    _log("song-path measurement failed (non-fatal)")
             break  # a full healthy pass happened; report it
         _log(f"ladder pass {round_no} produced nothing; retrying")
 
