@@ -7,17 +7,30 @@ from scratch on audio rendered by this repo's own synthesis path — the
 model learns the instrument it will transcribe, which is exactly the
 calibration use-case (chopping real Wurlitzer recordings into notes).
 
-Design (TPU-friendly, all-JAX):
+Design (TPU-friendly, all-JAX; round-5 architecture):
   * features: log triangular filterbank (96 log-spaced bands, 40 Hz-4.2 kHz)
     over |rfft| frames (~93 ms, hop /8 — the long window resolves
     low-register semitones), standardized per-bin by trained stats;
-  * model: per-frame MLP over a 7-frame context window
-    (672 → 384 → 160 → [onset logit, 62 pitch logits: MIDI 36-96 + none]);
+  * model: conv trunk over the (context × log-frequency) patch — a
+    (7 t × 15 bin) conv collapses the time context, a 15-bin conv mixes
+    neighborhoods along log-frequency (pitch-equivariant weight sharing,
+    the prior that lets one training note generalize across the
+    keyboard) — then HARMONIC STACKING: for each candidate pitch, the
+    trunk features at its fundamental and harmonic 2-6 bins are
+    gathered and fed to ONE pitch-shared MLP head emitting per-pitch
+    onset and note-presence logits (the basic-pitch structure: the head
+    sees exactly the harmonic evidence pattern, every pitch shares its
+    statistics, and harmonics of a sounding note do not fire their own
+    rows because their own stacks lack upper partials). The round-4
+    model's single global onset channel could not represent two
+    near-simultaneous onsets of different pitches (its min-gap peak
+    picker merged them) — the map form is what dense-mixture recall
+    needs;
   * training: mixtures synthesized from fast-path single-note renders
-    (random onsets/gains/polyphony + noise), masked BCE (onset) +
-    CE (pitch) with optax.adam — see tools/train_onset_model.py;
-  * decoding: onset peak-picking on the posterior + pitch argmax over the
-    0.4 s after each onset → the same note-dict schema as
+    (random onsets/gains/polyphony + noise), per-element weighted BCE on
+    both maps with optax.adamw — see tools/train_onset_model.py;
+  * decoding: per-pitch peak picking on the onset map with ±1-semitone
+    non-maximum suppression → the same note-dict schema as
     calib.notes.extract_notes.
 
 Weights live in openwurli_tpu/data/onset_pitch.npz (regenerable).
@@ -34,8 +47,25 @@ F_LO = 40.0
 F_HI = 4200.0
 CONTEXT = 7               # frames of context (centered)
 MIDI_LO, MIDI_HI = 36, 96
-N_PITCH = MIDI_HI - MIDI_LO + 1 + 1   # + "no pitch" class
-HIDDEN1, HIDDEN2 = 384, 160
+N_NOTES = MIDI_HI - MIDI_LO + 1       # per-pitch map width (61)
+N_PITCH = N_NOTES + 1                 # legacy constant (+ "no pitch")
+C1_CH, C2_CH = 24, 32
+K_BINS = 15
+N_HARM = 6                            # harmonic-stack depth (h = 1..6)
+HEAD_H = 64                           # pitch-shared head hidden width
+
+
+def harmonic_bins():
+    """(N_NOTES, N_HARM) filterbank bin index of harmonic h of each
+    candidate pitch (clipped to the band edges; the head learns that
+    top-of-band pitches lose upper partials)."""
+    delta = (np.log(F_HI) - np.log(F_LO)) / (N_BINS + 1)
+    midis = np.arange(MIDI_LO, MIDI_HI + 1)
+    f0 = 440.0 * 2.0 ** ((midis - 69) / 12.0)
+    h = np.arange(1, N_HARM + 1)
+    freq = f0[:, None] * h[None, :]
+    b = np.rint((np.log(freq) - np.log(F_LO)) / delta - 1.0)
+    return np.clip(b, 0, N_BINS - 1).astype(np.int32)
 
 _DATA = os.path.join(os.path.dirname(__file__), "..", "data",
                      "onset_pitch.npz")
@@ -94,60 +124,94 @@ def context_windows(feats):
 def init_params(seed=0):
     rng = np.random.default_rng(seed)
 
-    def glorot(shape):
-        lim = np.sqrt(6.0 / (shape[0] + shape[1]))
+    def glorot(shape, fan_in, fan_out):
+        lim = np.sqrt(6.0 / (fan_in + fan_out))
         return rng.uniform(-lim, lim, shape).astype(np.float32)
 
-    d_in = CONTEXT * N_BINS
+    d_stack = N_HARM * C2_CH
     return {
-        "W1": glorot((d_in, HIDDEN1)), "b1": np.zeros(HIDDEN1, np.float32),
-        "W2": glorot((HIDDEN1, HIDDEN2)),
-        "b2": np.zeros(HIDDEN2, np.float32),
-        "Wo": glorot((HIDDEN2, 1)), "bo": np.zeros(1, np.float32),
-        "Wp": glorot((HIDDEN2, N_PITCH)),
-        "bp": np.zeros(N_PITCH, np.float32),
+        # (time, bins, in_ch, out_ch) conv over the context patch
+        "C1": glorot((CONTEXT, K_BINS, 1, C1_CH),
+                     CONTEXT * K_BINS, K_BINS * C1_CH),
+        "c1b": np.zeros(C1_CH, np.float32),
+        # 1D conv along the log-frequency axis
+        "C2": glorot((1, K_BINS, C1_CH, C2_CH),
+                     K_BINS * C1_CH, K_BINS * C2_CH),
+        "c2b": np.zeros(C2_CH, np.float32),
+        # pitch-SHARED harmonic-stack head (one set of weights for all
+        # 61 pitch rows)
+        "H1": glorot((d_stack, HEAD_H), d_stack, HEAD_H),
+        "h1b": np.zeros(HEAD_H, np.float32),
+        "Ho": glorot((HEAD_H, 1), HEAD_H, 1),
+        "hob": np.zeros(1, np.float32),
+        "Hn": glorot((HEAD_H, 1), HEAD_H, 1),
+        "hnb": np.zeros(1, np.float32),
         "feat_mean": np.zeros(N_BINS, np.float32),
         "feat_std": np.ones(N_BINS, np.float32),
+        "fmt": np.asarray([3], np.int32),   # weight-format version tag
     }
 
 
 def forward(params, x):
-    """x (n, CONTEXT*N_BINS) → (onset_logits (n,), pitch_logits (n, P))."""
+    """x (n, CONTEXT*N_BINS) → (onset_logits (n, N_NOTES),
+    note_logits (n, N_NOTES)) — per-(frame, midi) maps."""
+    import jax
     import jax.numpy as jnp
 
-    mean = jnp.tile(params["feat_mean"], CONTEXT)
-    std = jnp.tile(params["feat_std"], CONTEXT)
-    h = (x - mean) / std
-    h = jnp.maximum(h @ params["W1"] + params["b1"], 0.0)
-    h = jnp.maximum(h @ params["W2"] + params["b2"], 0.0)
-    onset = (h @ params["Wo"] + params["bo"])[:, 0]
-    pitch = h @ params["Wp"] + params["bp"]
-    return onset, pitch
+    n = x.shape[0]
+    h = x.reshape(n, CONTEXT, N_BINS)
+    h = (h - params["feat_mean"][None, None, :]) \
+        / params["feat_std"][None, None, :]
+    h = h[..., None]                      # NHWC: (n, 7, 96, 1)
+    h = jax.lax.conv_general_dilated(
+        h, params["C1"], window_strides=(1, 1),
+        padding=((0, 0), (K_BINS // 2, K_BINS // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = jnp.maximum(h + params["c1b"], 0.0)    # (n, 1, 96, C1)
+    h = jax.lax.conv_general_dilated(
+        h, params["C2"], window_strides=(1, 1),
+        padding=((0, 0), (K_BINS // 2, K_BINS // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h = jnp.maximum(h + params["c2b"], 0.0)    # (n, 1, 96, C2)
+    h = h.reshape(n, N_BINS, C2_CH)
+    # harmonic stacking: (n, N_NOTES, N_HARM, C2) gather of each pitch
+    # row's fundamental + harmonic bins, then the pitch-shared head
+    hb = jnp.asarray(harmonic_bins())          # (N_NOTES, N_HARM)
+    g = h[:, hb, :].reshape(n, N_NOTES, N_HARM * C2_CH)
+    z = jnp.maximum(g @ params["H1"] + params["h1b"], 0.0)
+    onset = (z @ params["Ho"] + params["hob"])[..., 0]   # (n, N_NOTES)
+    note = (z @ params["Hn"] + params["hnb"])[..., 0]
+    return onset, note
 
 
-def loss_fn(params, x, y_onset, y_pitch, onset_pos_weight=8.0):
-    """Masked BCE (onset) + CE (pitch; y_pitch −1 = unsupervised)."""
+def loss_fn(params, x, y_onset, y_note, note_mask=None,
+            onset_pos_weight=400.0, note_pos_weight=8.0):
+    """Per-element weighted BCE on both maps.
+
+    y_onset/y_note: (n, N_NOTES) {0,1}; note_mask (n, N_NOTES) weights
+    the note-map loss (0 masks ambiguous ring-out frames)."""
     import jax.numpy as jnp
 
-    ol, pl = forward(params, x)
-    # BCE with positive-class weighting (onsets are ~2 % of frames)
-    z = jnp.clip(ol, -30.0, 30.0)
-    bce = jnp.maximum(z, 0.0) - z * y_onset + jnp.log1p(jnp.exp(-jnp.abs(z)))
-    w = 1.0 + (onset_pos_weight - 1.0) * y_onset
-    onset_loss = jnp.mean(w * bce)
-    mask = (y_pitch >= 0).astype(jnp.float32)
-    # cross-entropy with a stable log-sum-exp
-    mx = pl.max(axis=1, keepdims=True)
-    logz = jnp.log(jnp.sum(jnp.exp(pl - mx), axis=1)) + mx[:, 0]
-    picked = jnp.take_along_axis(
-        pl, jnp.maximum(y_pitch, 0)[:, None], axis=1)[:, 0]
-    ce = (logz - picked) * mask
-    pitch_loss = jnp.sum(ce) / jnp.maximum(jnp.sum(mask), 1.0)
-    return onset_loss + pitch_loss
+    ol, nl = forward(params, x)
+
+    def bce(z, y, pos_w):
+        z = jnp.clip(z, -30.0, 30.0)
+        raw = jnp.maximum(z, 0.0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z)))
+        return raw * (1.0 + (pos_w - 1.0) * y)
+
+    onset_loss = jnp.mean(bce(ol, y_onset, onset_pos_weight))
+    nm = bce(nl, y_note, note_pos_weight)
+    if note_mask is not None:
+        note_loss = jnp.sum(nm * note_mask) \
+            / jnp.maximum(jnp.sum(note_mask), 1.0)
+    else:
+        note_loss = jnp.mean(nm)
+    return onset_loss + 0.5 * note_loss
 
 
-def train(x, y_onset, y_pitch, steps=3000, batch=512, lr=2e-3, seed=0,
-          log_every=0, weight_decay=1e-4, input_noise=0.15):
+def train(x, y_onset, y_note, note_mask=None, steps=3000, batch=512,
+          lr=2e-3, seed=0, log_every=0, weight_decay=1e-4,
+          input_noise=0.15):
     """Train on precomputed frames; returns numpy params dict.
 
     weight_decay (AdamW) and input_noise (gaussian jitter on the raw
@@ -167,19 +231,23 @@ def train(x, y_onset, y_pitch, steps=3000, batch=512, lr=2e-3, seed=0,
     params["feat_mean"] = per_bin.mean(axis=0).astype(np.float32)
     params["feat_std"] = np.maximum(per_bin.std(axis=0),
                                     0.25).astype(np.float32)
-    train_keys = [k for k in params if not k.startswith("feat_")]
+    train_keys = [k for k in params
+                  if not k.startswith("feat_") and k != "fmt"]
 
     pj = {k: jnp.asarray(v) for k, v in params.items()}
     opt = optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.01),
                       weight_decay=weight_decay)
     opt_state = opt.init({k: pj[k] for k in train_keys})
 
+    if note_mask is None:
+        note_mask = np.ones_like(y_note, dtype=np.float32)
+
     @jax.jit
-    def step(pj, opt_state, xb, ob, pb):
+    def step(pj, opt_state, xb, ob, nb, mb):
         def lf(trainable):
             full = dict(pj)
             full.update(trainable)
-            return loss_fn(full, xb, ob, pb)
+            return loss_fn(full, xb, ob, nb, mb)
 
         trainable = {k: pj[k] for k in train_keys}
         loss, grads = jax.value_and_grad(lf)(trainable)
@@ -192,7 +260,8 @@ def train(x, y_onset, y_pitch, steps=3000, batch=512, lr=2e-3, seed=0,
     rng = np.random.default_rng(seed)
     x = jnp.asarray(x)
     y_onset = jnp.asarray(y_onset.astype(np.float32))
-    y_pitch = jnp.asarray(y_pitch.astype(np.int32))
+    y_note = jnp.asarray(y_note.astype(np.float32))
+    note_mask = jnp.asarray(note_mask.astype(np.float32))
     n = x.shape[0]
     for s in range(steps):
         sel = rng.integers(0, n, size=min(batch, n))
@@ -203,9 +272,10 @@ def train(x, y_onset, y_pitch, steps=3000, batch=512, lr=2e-3, seed=0,
                            size=(len(sel), x.shape[1])).astype(np.float32))
         pj, opt_state, loss = step(pj, opt_state, xb,
                                    y_onset[jnp.asarray(sel)],
-                                   y_pitch[jnp.asarray(sel)])
+                                   y_note[jnp.asarray(sel)],
+                                   note_mask[jnp.asarray(sel)])
         if log_every and s % log_every == 0:
-            print(f"step {s}: loss {float(loss):.4f}")
+            print(f"step {s}: loss {float(loss):.4f}", flush=True)
     return {k: np.asarray(v) for k, v in pj.items()}
 
 
@@ -214,44 +284,46 @@ def save_params(params, path=_DATA):
 
 
 def load_params(path=_DATA):
+    """Returns the trained weight dict, or None when absent/incompatible
+    (pre-round-5 weight files lack the fmt tag — treated as absent so
+    extraction falls back to the spectral path instead of crashing)."""
     if not os.path.exists(path):
         return None
     with np.load(path) as z:
+        if "fmt" not in z.files or int(z["fmt"][0]) != 3:
+            return None
         return {k: z[k] for k in z.files}
 
 
 def predict(params, audio, sr):
-    """(onset_prob (n_frames,), pitch_logits (n_frames, P), hop_s)."""
+    """(onset_prob (n, N_NOTES), note_prob (n, N_NOTES), hop_s)."""
     import jax
     import jax.numpy as jnp
 
     feats = features(audio, sr)
     xs = context_windows(feats)
     pj = {k: jnp.asarray(v) for k, v in params.items()}
-    ol, pl = jax.jit(forward)(pj, jnp.asarray(xs))
+    ol, nl = jax.jit(forward)(pj, jnp.asarray(xs))
     frame, hop = frame_params(sr)
-    return (np.asarray(jax.nn.sigmoid(ol)), np.asarray(pl), hop / sr)
+    return (np.asarray(jax.nn.sigmoid(ol)),
+            np.asarray(jax.nn.sigmoid(nl)), hop / sr)
 
 
 def nn_extract_notes(audio, sr, params=None, min_duration=0.25,
-                     onset_threshold=0.6, min_gap_s=0.2,
-                     pitch_skip_s=0.12, pitch_span_s=0.55,
-                     energy_veto_db=0.0):
+                     onset_threshold=0.5, min_gap_s=0.15,
+                     note_span_s=0.5):
     """Model-based drop-in for calib.notes.extract_notes.
 
-    min_gap_s merges the duplicate posterior peaks the soft wurli attack
-    produces (~0.2 s apart); the pitch window SKIPS the attack region
-    (pitch_skip_s) where the posterior is least reliable and reads the
-    early sustain instead — both measured decode wins on the shipped
-    model. energy_veto_db (>0) rejects posterior peaks with no broadband
-    energy RISE around them — useful against posterior ripples on SPARSE
-    material, but OFF by default: a −12 dB note under three ringing
-    louder notes adds <1 dB of broadband energy, and on dense 4-note
-    validation mixtures a 1 dB veto cost 46 of 61 recoveries (measured,
-    tools/train_onset_model.py).
-    Returns the same note-dict schema (onset_s/offset_s/
-    midi_note/f0_hz/velocity_norm); empty list when no trained weights
-    are available.
+    Decodes the per-pitch onset map: a note fires where a pitch row has
+    a local-in-time posterior peak ≥ threshold that also dominates its
+    ±1-semitone neighbors there (non-maximum suppression along pitch —
+    the conv trunk's pitch equivariance makes neighbor rows co-fire).
+    min_gap_s applies PER PITCH ROW, so simultaneous onsets of
+    different notes — the round-4 global-onset model's blind spot —
+    decode independently. Pitch confirmation reads the note-presence
+    map over [onset, onset+note_span_s]. Returns the same note-dict
+    schema (onset_s/offset_s/midi_note/f0_hz/velocity_norm); empty list
+    when no trained weights are available.
     """
     params = params if params is not None else load_params()
     if params is None:
@@ -259,43 +331,44 @@ def nn_extract_notes(audio, sr, params=None, min_duration=0.25,
     audio = np.asarray(audio, dtype=np.float64)
     if audio.ndim > 1:
         audio = audio.mean(axis=1)
-    prob, pitch_logits, hop_s = predict(params, audio, sr)
-    n = len(prob)
-    # broadband frame energy (dB-ish) from the same filterbank features
-    feats = features(audio, sr)
-    energy = 20.0 / np.log(10.0) * np.log(
-        np.maximum(np.exp(feats).sum(axis=1), 1e-12))
+    prob, note_prob, hop_s = predict(params, audio, sr)
+    n = prob.shape[0]
     min_gap = max(1, int(min_gap_s / hop_s))
-    peaks = []
-    for i in range(1, n - 1):
-        if (prob[i] >= onset_threshold and prob[i] >= prob[i - 1]
-                and prob[i] > prob[i + 1]):
-            if energy_veto_db > 0.0:
-                pre = energy[max(i - 4, 0):max(i - 1, 1)]
-                post = energy[i:min(i + 4, n)]
-                if (len(pre) and len(post)
-                        and post.max() < np.median(pre) + energy_veto_db):
+    span = max(1, int(note_span_s / hop_s))
+
+    cands = []
+    for p in range(N_NOTES):
+        row = prob[:, p]
+        last = -10 * min_gap
+        for i in range(1, n - 1):
+            if (row[i] >= onset_threshold and row[i] >= row[i - 1]
+                    and row[i] > row[i + 1] and i - last >= min_gap):
+                # ±1-semitone NMS: the true row's peak dominates
+                lo, hi = max(p - 1, 0), min(p + 2, N_NOTES)
+                w0, w1 = max(i - 2, 0), min(i + 3, n)
+                if row[i] + 1e-6 < prob[w0:w1, lo:hi].max():
                     continue
-            if not peaks or i - peaks[-1] >= min_gap:
-                peaks.append(i)
+                last = i
+                cands.append((i, p, float(row[i])))
+    cands.sort()
+
     notes = []
-    bounds = peaks + [n]
     peak_global = max(np.abs(audio).max(), 1e-12)
-    skip = max(0, int(pitch_skip_s / hop_s))
-    span = max(1, int(pitch_span_s / hop_s))
-    for k, i0 in enumerate(peaks):
-        i1 = bounds[k + 1]
-        onset_s = i0 * hop_s
-        offset_s = min(i1 * hop_s, len(audio) / sr)
+    # per-pitch next-onset boundaries for offsets
+    next_onset = {}
+    for i, p, _ in reversed(cands):
+        off_frame = next_onset.get(p, n)
+        next_onset[p] = i
+        onset_s = i * hop_s
+        offset_s = min(off_frame * hop_s, len(audio) / sr)
         if offset_s - onset_s < min_duration:
             continue
-        a = min(i0 + skip, max(i1 - 1, i0))
-        b = min(i0 + span, i1)
-        if b <= a:
-            a, b = i0, max(i0 + 1, i1)
-        pl = pitch_logits[a:b].sum(axis=0)
-        cls = int(np.argmax(pl[:-1]))          # exclude "none"
-        midi = MIDI_LO + cls
+        # note-presence confirmation over the early sustain
+        b = min(i + span, off_frame, n)
+        conf = float(note_prob[i:b, p].mean()) if b > i else 0.0
+        if conf < 0.2:
+            continue
+        midi = MIDI_LO + p
         f0 = 440.0 * 2.0 ** ((midi - 69) / 12.0)
         seg = audio[int(onset_s * sr): int(offset_s * sr)]
         vel = float(np.abs(seg[: int(0.05 * sr)]).max()
@@ -307,4 +380,5 @@ def nn_extract_notes(audio, sr, params=None, min_duration=0.25,
             "f0_hz": float(f0),
             "velocity_norm": min(vel, 1.0),
         })
+    notes.sort(key=lambda d: d["onset_s"])
     return notes

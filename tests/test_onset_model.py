@@ -45,22 +45,22 @@ def test_training_reduces_loss():
     rng = np.random.default_rng(1)
     n = 600
     x = rng.normal(size=(n, om.CONTEXT * om.N_BINS)).astype(np.float32)
-    y_on = (rng.random(n) < 0.1).astype(np.float32)
-    y_p = rng.integers(-1, om.N_PITCH, size=n)
-    # make labels learnable: plant a signal in the features
-    x[:, 0] = y_on * 4.0
-    x[:, 1] = np.where(y_p >= 0, y_p / om.N_PITCH, 0.0) * 4.0
+    y_on = (rng.random((n, om.N_NOTES)) < 0.02).astype(np.float32)
+    y_note = (rng.random((n, om.N_NOTES)) < 0.1).astype(np.float32)
+    # make labels learnable: plant a per-pitch signal in the features
+    x[:, :om.N_NOTES] = y_on * 4.0
+    x[:, om.N_BINS:om.N_BINS + om.N_NOTES] = y_note * 4.0
 
     import jax.numpy as jnp
 
     p0 = om.init_params(0)
     l0 = float(om.loss_fn({k: jnp.asarray(v) for k, v in p0.items()},
                           jnp.asarray(x), jnp.asarray(y_on),
-                          jnp.asarray(y_p)))
-    params = om.train(x, y_on, y_p, steps=150, batch=256, seed=0)
+                          jnp.asarray(y_note)))
+    params = om.train(x, y_on, y_note, steps=150, batch=256, seed=0)
     l1 = float(om.loss_fn({k: jnp.asarray(v) for k, v in params.items()},
                           jnp.asarray(x), jnp.asarray(y_on),
-                          jnp.asarray(y_p)))
+                          jnp.asarray(y_note)))
     assert np.isfinite(l0) and np.isfinite(l1)
     assert l1 < 0.7 * l0, (l0, l1)
 
