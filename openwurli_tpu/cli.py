@@ -182,7 +182,8 @@ def cmd_render_poly(args):
         out = fast.render_chord(
             notes, args.velocity / 127.0, args.duration, args.sr,
             volume=args.volume, depth=args.tremolo,
-            character=args.speaker, warm_seconds=0.6)
+            character=args.speaker, warm_seconds=0.6,
+            noise_level=getattr(args, "noise_level", 0.0))
         wav.write_wav(args.output, np.asarray(out, np.float64), args.sr,
                       bits=24)
         print(f"Rendered {len(notes)} notes × {args.duration}s (fused "
@@ -193,6 +194,9 @@ def cmd_render_poly(args):
     eng.set_volume(args.volume)
     eng.set_tremolo_depth(args.tremolo)
     eng.set_speaker_character(args.speaker)
+    if getattr(args, "noise_level", 0.0) > 0.0:
+        eng.set_noise_enabled(True)
+        eng.set_noise_gain(args.noise_level)
     eng.render(1536)
     for n in notes:
         eng.note_on(n, args.velocity / 127.0)
@@ -213,6 +217,7 @@ def cmd_render_midi(args):
             args.input, args.sr, tail_seconds=args.tail,
             volume=args.volume, depth=args.tremolo,
             character=args.speaker,
+            noise_level=getattr(args, "noise_level", 0.0),
             parallel=not getattr(args, "serial", False))
         wav.write_wav(args.output, np.asarray(out, np.float64), args.sr,
                       bits=24)
@@ -226,6 +231,9 @@ def cmd_render_midi(args):
     eng.set_volume(args.volume)
     eng.set_tremolo_depth(args.tremolo)
     eng.set_speaker_character(args.speaker)
+    if getattr(args, "noise_level", 0.0) > 0.0:
+        eng.set_noise_enabled(True)
+        eng.set_noise_gain(args.noise_level)
     eng.render(1536)
 
     chunks = []
@@ -567,6 +575,9 @@ def build_parser():
     sp.add_argument("--fast", action="store_true",
                     help="fused-Pallas batch path (sustained render, "
                          "~150x realtime on TPU; see openwurli_tpu.fast)")
+    sp.add_argument("--noise-level", type=float, default=0.0,
+                    help="circuit thermal-noise gain (reference "
+                         "'Authentic Noise'/'Noise Level'; 0 = off)")
 
     sp = add("render-midi", cmd_render_midi,
              help="Render a MIDI file through the full chain")
@@ -584,6 +595,9 @@ def build_parser():
     sp.add_argument("--serial", action="store_true",
                     help="with --fast: force the serial block-streamed "
                          "path instead of the time-parallel renderer")
+    sp.add_argument("--noise-level", type=float, default=0.0,
+                    help="circuit thermal-noise gain (reference "
+                         "'Authentic Noise'/'Noise Level'; 0 = off)")
 
     sp = add("alias-audit", cmd_alias_audit,
              help="Click-band aliasing audit (H6-H11 plateau + HF hash)")

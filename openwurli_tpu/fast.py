@@ -37,13 +37,16 @@ from openwurli_tpu.kernels import mono_chain as mc
 
 def render_grid(midis, velocities, seconds, sample_rate=44100.0,
                 volume=0.5, depth=0.5, character=0.0, warm_seconds=0.0,
-                interpret=False, t_tile=None):
+                interpret=False, t_tile=None, noise_level=0.0):
     """Render S streams × V voices: midis/velocities (S, V) → (T, S) f32.
 
     Each stream s sounds its V notes simultaneously from t=0 through the
     full analog chain. volume/depth/character may be scalars or (S,).
     warm_seconds of silent chain settle are rendered (and discarded)
     before the notes start, mirroring WurliEngine::warm_up.
+    noise_level > 0 compiles the thermal-noise chain variant (reference
+    "Authentic Noise"/"Noise Level" params; kernels/mono_chain.py
+    preamp_step) with that runtime gain.
     """
     import jax
     import jax.numpy as jnp
@@ -65,9 +68,11 @@ def render_grid(midis, velocities, seconds, sample_rate=44100.0,
         params, _ = vb.make_kernel_params(
             midis.reshape(-1), vels.reshape(-1), sr, lanes=lanes)
         ctrl = mc.make_controls(sr, s, volume=volume, depth=depth,
-                                character=character)
+                                character=character,
+                                noise_level=noise_level)
         state = mc.init_state(sr, s)
 
+    nz = bool(np.any(np.asarray(noise_level) > 0.0))
     params = jnp.asarray(params)
     ctrl = jnp.asarray(ctrl)
     state = jnp.asarray(state)
@@ -76,14 +81,16 @@ def render_grid(midis, velocities, seconds, sample_rate=44100.0,
         t_warm = -(-int(warm_seconds * sr) // t_tile) * t_tile
         silence = jnp.zeros((t_warm, s), jnp.float32)
         _, state = mc.render_tpu(sr, ctrl, state, silence,
-                                 interpret=interpret, t_tile=t_tile)
+                                 interpret=interpret, t_tile=t_tile,
+                                 noise=nz)
 
     voices = vb.render_voice_bank(
         params, t_pad, interpret=interpret, events=False,
         steady=vb.steady_limits(params))[:, :s * v]
     audio = voices.reshape(t_pad, s, v).sum(-1)
     out, _state = mc.render_tpu(sr, ctrl, state, audio,
-                                interpret=interpret, t_tile=t_tile)
+                                interpret=interpret, t_tile=t_tile,
+                                noise=nz)
     return np.asarray(out[:t_total])
 
 
@@ -145,7 +152,7 @@ def schedule_events(events, sample_rate):
 def render_events(midis, velocities, onsets, releases, seconds,
                   sample_rate=44100.0, volume=0.5, depth=0.5,
                   character=0.0, warm_seconds=0.6, block_seconds=2.0,
-                  interpret=False, t_tile=None):
+                  interpret=False, t_tile=None, noise_level=0.0):
     """Event-scheduled single-stream render → (T,) f32 mono.
 
     midis/velocities/onsets/releases: per-voice-instance schedules (from
@@ -171,9 +178,11 @@ def render_events(midis, velocities, onsets, releases, seconds,
             np.asarray(velocities, dtype=np.float64), sr,
             onsets=onsets, releases=releases)
         ctrl = mc.make_controls(sr, 1, volume=volume, depth=depth,
-                                character=character)
+                                character=character,
+                                noise_level=noise_level)
         state = mc.init_state(sr, 1)
         vstate = vb.init_bank_state(params)
+    nz = float(noise_level) > 0.0
 
     # Schedule facts are resolved ONCE host-side; the per-block kernel
     # calls must not re-read params off the device (tunnel transfers).
@@ -189,7 +198,8 @@ def render_events(midis, velocities, onsets, releases, seconds,
         t_warm = -(-int(warm_seconds * sr) // t_tile) * t_tile
         silence = jnp.zeros((t_warm, 1), jnp.float32)
         _, state = mc.render_tpu(sr, ctrl, state, silence,
-                                 interpret=interpret, t_tile=t_tile)
+                                 interpret=interpret, t_tile=t_tile,
+                                 noise=nz)
 
     # One jitted program per block SHAPE (n0 is traced, so every block
     # reuses the same compile): the round-4 eager per-block form paid
@@ -211,7 +221,8 @@ def render_events(midis, velocities, onsets, releases, seconds,
         audio = voices.sum(-1, keepdims=True)
         audio = jax.lax.optimization_barrier(audio)
         out, state = mc.render_tpu(sr, ctrl, state, audio,
-                                   interpret=interpret, t_tile=t_tile)
+                                   interpret=interpret, t_tile=t_tile,
+                                   noise=nz)
         return out[:, 0], vstate, state
 
     outs = []
@@ -290,7 +301,7 @@ def _song_voices(midis, velocities, onsets, rel_local, lens, t_total, sr,
 def render_events_parallel(midis, velocities, onsets, releases, seconds,
                            sample_rate=44100.0, volume=0.5, depth=0.5,
                            character=0.0, segments=128, warm_seconds=1.0,
-                           interpret=False, t_tile=None):
+                           interpret=False, t_tile=None, noise_level=0.0):
     """Event-scheduled single-song render, TIME-PARALLEL → (T,) f32.
 
     The serial fast path (render_events) is bound by the mono chain's
@@ -359,7 +370,8 @@ def render_events_parallel(midis, velocities, onsets, releases, seconds,
         ctrl1 = mc.make_controls(sr, 1, volume=volume, depth=depth,
                                  character=character)
         ctrl = mc.make_controls(sr, n_seg, volume=volume, depth=depth,
-                                character=character)
+                                character=character,
+                                noise_level=noise_level)
         state = mc.init_state(sr, n_seg)
 
     # shift-and-sum on device: song[o_i + t] += voice_i[t]
@@ -376,7 +388,8 @@ def render_events_parallel(midis, velocities, onsets, releases, seconds,
     # ── 3. segmented chain ───────────────────────────────────────────
     audio_seg = _segment_windows(audio, n_seg, seg_len, warm)
     out_seg, _ = mc.render_tpu(sr, ctrl, jnp.asarray(state), audio_seg,
-                               interpret=interpret, t_tile=t_tile)
+                               interpret=interpret, t_tile=t_tile,
+                               noise=float(noise_level) > 0.0)
     out = jnp.transpose(out_seg[warm:, :]).reshape(-1)
     return np.asarray(out[:t_total])
 

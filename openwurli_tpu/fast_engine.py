@@ -57,11 +57,20 @@ class FastEngine:
     def __init__(self, sample_rate: float = 44100.0, volume: float = 0.5,
                  tremolo_depth: float = 0.5, speaker_character: float = 0.0,
                  interpret: bool = False, t_tile: int | None = None,
-                 lookahead: int = 0):
+                 lookahead: int = 0, noise: bool = False,
+                 noise_level: float = 1.0):
         import jax
 
         self.sample_rate = float(sample_rate)
         self.interpret = bool(interpret)
+        # Thermal noise (reference "Authentic Noise"/"Noise Level"
+        # params): `noise` is a COMPILE-TIME variant selector (flipping
+        # it later recompiles the block program — minutes over the
+        # tunnel; measured 8 min for the full-song-shape program);
+        # noise_level is a live runtime gain (set_noise_gain).
+        self._noise = bool(noise)
+        self._noise_on = bool(noise)
+        self._noise_level = float(noise_level)
         # Pipelined dispatch depth: with lookahead=k, up to k future
         # blocks are dispatched (device-side, async) before the current
         # block's host transfer blocks — device compute and tunnel
@@ -129,7 +138,8 @@ class FastEngine:
             audio = jax.lax.optimization_barrier(audio)
             out, chain_state = mc.render_tpu(
                 self.sample_rate, ctrl, chain_state, audio,
-                interpret=self.interpret, t_tile=self.t_tile)
+                interpret=self.interpret, t_tile=self.t_tile,
+                noise=self._noise)
             return out[:, 0], vstate, chain_state
 
         return _block
@@ -182,17 +192,52 @@ class FastEngine:
         # rewrite already-rendered audio).
         return max(0, min(int(offset), self.block - 1))
 
+    # Setters mark controls dirty only on CHANGE: hosts re-sync every
+    # block (host.py _sync_params), and an unconditional mark rebuilt +
+    # re-uploaded the control rows per block.
+
     def set_volume(self, v: float):
-        self._volume = float(v)
-        self._ctrl_dirty = True
+        if float(v) != self._volume:
+            self._volume = float(v)
+            self._ctrl_dirty = True
 
     def set_tremolo_depth(self, d: float):
-        self._depth = float(d)
-        self._ctrl_dirty = True
+        if float(d) != self._depth:
+            self._depth = float(d)
+            self._ctrl_dirty = True
 
     def set_speaker_character(self, c: float):
-        self._char = float(c)
-        self._ctrl_dirty = True
+        if float(c) != self._char:
+            self._char = float(c)
+            self._ctrl_dirty = True
+
+    def set_noise_gain(self, g: float):
+        """Runtime thermal-noise gain (no recompile; silent unless the
+        engine was built — or later enabled — with noise=True)."""
+        if float(g) != self._noise_level:
+            self._noise_level = float(g)
+            self._ctrl_dirty = True
+
+    def set_noise_enabled(self, enabled: bool):
+        """Enable/disable the thermal-noise chain variant. Enabling on
+        an engine built with noise=False swaps in the noise program —
+        a fresh multi-minute compile on the next rendered block;
+        disabling just zeroes the runtime gain (no recompile)."""
+        enabled = bool(enabled)
+        if enabled and not self._noise:
+            self._noise = True
+            self._block_fn = self._make_block_fn()
+            # In-flight blocks were dispatched under the old program but
+            # their horizon/state already advanced — materialize them
+            # into the surplus (dropping them would skip real audio).
+            if self._inflight:
+                self._surplus = np.concatenate(
+                    [self._surplus]
+                    + [np.asarray(b) for b in self._inflight])
+                self._inflight = []
+        if enabled != self._noise_on:
+            self._noise_on = enabled
+            self._ctrl_dirty = True
 
     def active_voice_count(self):
         if self._n_used == 0:
@@ -218,7 +263,8 @@ class FastEngine:
         silence = jnp.zeros((t_warm, 1), jnp.float32)
         _, self._chain_state = mc.render_tpu(
             self.sample_rate, self._controls(), self._chain_state,
-            silence, interpret=self.interpret, t_tile=self.t_tile)
+            silence, interpret=self.interpret, t_tile=self.t_tile,
+            noise=self._noise)
 
     def precompile(self):
         """Compile the fused block program and the warm-up shape
@@ -329,7 +375,9 @@ class FastEngine:
             with jax.default_device(mc._cpu_device()):
                 self._ctrl = jnp.asarray(mc.make_controls(
                     self.sample_rate, 1, volume=self._volume,
-                    depth=self._depth, character=self._char))
+                    depth=self._depth, character=self._char,
+                    noise_level=(self._noise_level if self._noise_on
+                                 else 0.0)))
             self._ctrl_dirty = False
         return self._ctrl
 

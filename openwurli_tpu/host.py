@@ -113,10 +113,11 @@ class FastWurliPlugin:
     backed by openwurli_tpu.fast_engine (one-time kernel compile, then
     ~100 ms/block dispatch over a tunneled device) instead of the f64
     scan engine (~6 min compile). Trade-offs inherited from FastEngine:
-    controls are static per block (no 5 ms smoothing), and
-    authentic_noise / noise_level are inert (the kernels model the
-    reference's default no-noise build; circuit noise lives on the
-    melange f64 path only). Event placement is sample-accurate up to
+    controls are static per block (no 5 ms smoothing), and the FIRST
+    enable of authentic_noise recompiles the block program (minutes
+    over the tunnel; noise_level changes after that are live — see
+    kernels/mono_chain.py preamp_step for the in-kernel Johnson-Nyquist
+    model). Event placement is sample-accurate up to
     the kernel's 16-sample jitter grid (events forward their block
     offsets into FastEngine; reference sub-block splitting is plugin
     lib.rs:128-153) as long as process() block sizes keep the engine's
@@ -153,6 +154,11 @@ class FastWurliPlugin:
         e.set_volume(self.params.volume)
         e.set_tremolo_depth(self.params.tremolo_depth)
         e.set_speaker_character(self.params.speaker_character)
+        # Thermal noise (params.rs "Authentic Noise"/"Noise Level"):
+        # first enable on a noise=False engine recompiles the block
+        # program (minutes over the tunnel) — see FastEngine.set_noise_*.
+        e.set_noise_enabled(self.params.authentic_noise)
+        e.set_noise_gain(self.params.noise_level)
 
     def _dispatch(self, ev: MidiEvent, offset: int = 0):
         if ev.kind == "note_on":

@@ -204,6 +204,39 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
         S[f"pre_{nm}_p0"] = float(col[B1] - col[E1])
         S[f"pre_{nm}_p1"] = float(col[C1] - col[E2])
 
+    # ── Johnson-Nyquist thermal noise stamps (static `noise` flag) ──
+    # Per-resistor current-noise sources with the reference's two-draw
+    # trapezoidal stamp (gen_preamp.rs:3434-3450: per-sample draw
+    # w = 0.5·sqrt(8 kB T fs)·sqrt(1/R)·N(0,1), injected i = w[n]+w[n−1])
+    # on the 8-node DK topology. σ_r is folded into the injection
+    # columns at pack time, so the kernel's per-sample work is one
+    # (8,9)@(9,S) and one (2,9)@(9,S) matvec on unit-variance draws.
+    # Vcc is an AC ground, so supply-connected resistors stamp at one
+    # node. R1 rides the Cin series companion instead: its Thévenin
+    # equivalent is a voltage source √(4kT·R1) ON THE INPUT, which the
+    # companion's own two-sample rhs averaging treats trapezoidally.
+    # Anchor: the same physical circuit measures 8.08 µV output RMS in
+    # ngspice (see tests/test_melange_preamp.py).
+    from openwurli_tpu.circuits.melange_preamp import K_BOLTZMANN, TEMP_K
+    nz_half = 0.5 * np.sqrt(8.0 * K_BOLTZMANN * TEMP_K * os_sr)
+    E2B = dkp.EMIT2B
+    nz_res = ((B1, None, dkp.R2), (B1, None, dkp.R3),
+              (E1, None, dkp.RE1), (C1, None, dkp.RC1),
+              (E2, E2B, dkp.RE2A), (E2B, None, dkp.RE2B),
+              (C2, None, dkp.RC2), (C2, OUT, dkp.R9),
+              (OUT, FB, dkp.R10))
+    nz_inj = np.zeros((8, len(nz_res)))
+    for _r, (n1, n2, ohms) in enumerate(nz_res):
+        nz_inj[n1, _r] += 1.0
+        if n2 is not None:
+            nz_inj[n2, _r] -= 1.0
+        nz_inj[:, _r] *= nz_half * np.sqrt(1.0 / ohms)
+    A["pre_NS"] = (s_base @ nz_inj).astype(f32)              # (8, 9)
+    A["pre_NP"] = np.stack([(s_base[B1] - s_base[E1]) @ nz_inj,
+                            (s_base[C1] - s_base[E2]) @ nz_inj]
+                           ).astype(f32)                     # (2, 9)
+    S["nz_u_sigma"] = float(nz_half * np.sqrt(dkp.R1))
+
     # DC fixed point of the discrete step (for the deviation origin checks)
     j_dc = float(pp.g_cin) * v_dc[B1]
     rhs_dc = a_neg @ v_dc + 2.0 * np.asarray(dkp.build_w_vec())
@@ -404,7 +437,7 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
 
 
 ARRAY_NAMES = ("pre_SA", "pre_SA_p", "pre_cols", "pre_cols_hi",
-               "pre_cols_lo", "pa_P", "pa_K",
+               "pre_cols_lo", "pre_NS", "pre_NP", "pa_P", "pa_K",
                "pa_cols", "pa_nvcols", "pa_gp", "eye16", "pa_elim_mask",
                "pa_upper_mask", "trem_P", "trem_K", "trem_cols",
                "trem_gp", "eye4")
@@ -449,6 +482,14 @@ STATE_SPEC = (
     ("os_ua", 3), ("os_ub", 3), ("os_da", 3), ("os_db", 3), ("os_delay", 1),
     ("spk_hpf", 2), ("spk_lpf", 2), ("spk_thermal", 1),
     ("guard_fires", 1),
+    # Thermal-noise state (appended so all other offsets are unchanged;
+    # inert — never read or written — unless the static `noise` flag is
+    # on): previous scaled draws for the trapezoidal two-draw stamp, and
+    # 40 per-stream LCG streams (4 Irwin-Hall uniforms × 10 sources)
+    # stored as f32 BIT PATTERNS (lax.bitcast round-trip, the
+    # kernels/voice_bank.py int-row idiom).
+    ("nz_w", 9),
+    ("nz_lcg", 40),
 )
 # Each component is padded to an 8-row (sublane tile) boundary in the
 # packed layout: slices then carry tile-aligned layouts — Mosaic crashes
@@ -463,7 +504,7 @@ STATE_ROWS = _off
 CTRL_SPEC = (
     ("volume", 1), ("rail_sag", 1), ("div_top", 1), ("r_lower", 1),
     ("hpf", 5), ("lpf", 5), ("a2", 1), ("a3", 1), ("thermal_coeff", 1),
-    ("char", 1),
+    ("char", 1), ("noise", 1),
 )
 CTRL_ROWS = sum(r for _, r in CTRL_SPEC)
 _CTRL_OFF = {}
@@ -512,19 +553,34 @@ def init_state(base_sr: float, n_streams: int) -> np.ndarray:
     put("pa_vnl", c.arrays["pa_nvcols"][:, 5])
     put("pa_vnl_prev", c.arrays["pa_nvcols"][:, 5])
     put("pa_rails", [sc["pa_rail_bias"], sc["pa_rail_bias"], 0.0, 0.0])
+    # Per-(row, stream) LCG seeds (splitmix32 finalizer over the cell
+    # index) stored as f32 bit patterns — distinct noise per stream.
+    a, b = _OFFSETS["nz_lcg"]
+    idx = (np.arange(b - a, dtype=np.uint32)[:, None] * np.uint32(S)
+           + np.arange(S, dtype=np.uint32)[None, :])
+    z = (idx + np.uint32(0x9E3779B9))
+    z = (z ^ (z >> np.uint32(16))) * np.uint32(0x85EBCA6B)
+    z = (z ^ (z >> np.uint32(13))) * np.uint32(0xC2B2AE35)
+    z = z ^ (z >> np.uint32(16))
+    flat[a:b] = z.view(np.float32)
     return flat
 
 
 def make_controls(base_sr, n_streams, volume=0.5, depth=0.5, character=0.0,
-                  rail_sag=True) -> np.ndarray:
-    """(CTRL_ROWS, S) f32. Scalars broadcast; arrays may be per-stream."""
+                  rail_sag=True, noise_level=0.0) -> np.ndarray:
+    """(CTRL_ROWS, S) f32. Scalars broadcast; arrays may be per-stream.
+
+    noise_level: runtime thermal-noise gain (reference "Noise Level",
+    params.rs, up to 30×). Only takes effect when the render is compiled
+    with the static noise=True flag; 0.0 there is bit-identical to a
+    noise=False program."""
     with jax.default_device(_cpu_device()):
         return _make_controls_impl(base_sr, n_streams, volume, depth,
-                                   character, rail_sag)
+                                   character, rail_sag, noise_level)
 
 
 def _make_controls_impl(base_sr, n_streams, volume, depth, character,
-                        rail_sag) -> np.ndarray:
+                        rail_sag, noise_level=0.0) -> np.ndarray:
     S = n_streams
     rows = np.zeros((CTRL_ROWS, S), dtype=f32)
 
@@ -554,6 +610,8 @@ def _make_controls_impl(base_sr, n_streams, volume, depth, character,
     put("a3", cc["a3"])
     put("thermal_coeff", cc["thermal_coeff"])
     put("char", char)
+    put("noise", np.broadcast_to(
+        np.asarray(noise_level, np.float64), (S,)))
     return rows
 
 
@@ -946,9 +1004,18 @@ def _trem_preroll_jit(base_sr, controls, state_flat, n_captures,
 PRE_STEP64: frozenset = frozenset()
 
 
-def preamp_step(c, sc, st, u_main, gldr):
+def preamp_step(c, sc, st, u_main, gldr, noise=False):
     """Twin DK preamp, one oversampled sample. u_main (1,S); shadow = 0.
     Returns (st, out) with out = main − shadow (1,S).
+
+    noise (static): Johnson-Nyquist thermal noise on the MAIN solver
+    only (the diff half here — matching circuits/melange_preamp.step and
+    the reference's gen_preamp.rs noise build): per-resistor unit-
+    variance draws (Irwin-Hall 4 from 40 in-state LCG streams) scaled by
+    pack-time σ·S-columns, two-draw trapezoidal stamp; R1's noise rides
+    the input as its Thévenin voltage through the Cin companion. The
+    runtime gain is the c["noise"] control row (0.0 is bit-identical to
+    a noise=False program — every injected term is exactly 0.0).
 
     State basis is (shadow, diff) — see STATE_SPEC. The shadow half
     evolves exactly as before; the diff half evolves under the SAME
@@ -987,6 +1054,43 @@ def preamp_step(c, sc, st, u_main, gldr):
     d = (up64 if sad64 else (lambda x: x))(st["pre_d"])
     gprev = cp(st["pre_gldr"])
     gldr = cp(gldr)
+
+    npred = npp = None
+    if noise:
+        bc = (pltpu.bitcast if sc.get("nz_in_kernel")
+              else jax.lax.bitcast_convert_type)
+        lcg = bc(st["nz_lcg"], jnp.uint32)
+        lcg = lcg * jnp.uint32(1664525) + jnp.uint32(1013904223)
+        st["nz_lcg"] = bc(lcg, jnp.float32)
+        # PCG-style output permutation (murmur3 finalizer): raw LCG
+        # streams with a shared (a, c) correlate lane-to-lane at ~0.5 —
+        # every lane shares the additive orbit c·(aⁿ−1)/(a−1) and only
+        # the seed term differs (measured; test_noise_streams_
+        # decorrelated). A nonlinear output hash on the state breaks
+        # the cross-lane linear structure while keeping the cheap
+        # 2-op state advance.
+        h = lcg
+        h = (h ^ (h >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+        h = (h ^ (h >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> jnp.uint32(16))
+        # u32→f32 via i32 after >>1 (Mosaic's direct unsigned→float
+        # lowering recurses — see kernels/voice_bank.py _jitter)
+        un = (h >> jnp.uint32(1)).astype(jnp.int32).astype(
+            jnp.float32) * jnp.float32(2.0 / 4294967295.0) - 1.0
+        g4 = (un[0:10] + un[10:20] + un[20:30] + un[30:40]) \
+            * jnp.float32(0.8660254037844386)     # (10,S) unit variance
+        w = g4 * c["noise"]
+        w_i = w[1:10]
+        i_tz = w_i + st["nz_w"]                   # w[n] + w[n−1]
+        st["nz_w"] = w_i
+        npred = jnp.dot(c["pre_NS"], i_tz,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        npp = jnp.dot(c["pre_NP"], i_tz,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+        u_main = u_main + w[0:1] * jnp.float32(sc["nz_u_sigma"])
+
     u_main = cp(u_main)
     cols = cl(c["pre_cols"])
     col_fb, col_b1 = _col(cols, 0), _col(cols, 1)
@@ -1053,6 +1157,10 @@ def preamp_step(c, sc, st, u_main, gldr):
                          (c_fb_sh, c_b1_sh, dic[0:1], dic[2:3]))
         pb_df = _pb_comp(sad[8:16],
                          (c_fb_df, c_b1_df, dic[1:2], dic[3:4]))
+    if noise:
+        # before tpart: the SM feedback correction then sees the noise
+        # through pb_df[FB] exactly as it sees every other rhs current
+        pb_df = pb_df + npred
 
     smk = gldr / (1.0 + sc["pre_sfbfb"] * gldr)
     smk_kc = up64(smk) if (kc64 and smk.dtype != jnp.float64) else smk
@@ -1115,6 +1223,9 @@ def preamp_step(c, sc, st, u_main, gldr):
              + sc["pre_cfb_p1"] * c_fb_df + sc["pre_cb1_p1"] * c_b1_df
              + sc["pre_ce1_p1"] * dic[1:2] + sc["pre_ce2_p1"] * dic[3:4]
              - tpart_df * sc["pre_cfb_p1"])
+    if noise:
+        p0_df = p0_df + npp[0:1]
+        p1_df = p1_df + npp[1:2]
     p0 = jnp.concatenate([p0_sh + p0_df, p0_sh], axis=0)  # [main, shadow]
     p1 = jnp.concatenate([p1_sh + p1_df, p1_sh], axis=0)
 
@@ -1349,7 +1460,7 @@ def pa_step(c, sc, st, x, rail_sag):
     return st, out
 
 
-def base_step(c, sc, st, x):
+def base_step(c, sc, st, x, noise=False):
     """One base-rate sample: oversample → 2×(preamp→amp) → speaker."""
     ctrl = c  # controls are merged into the consts dict
     st = dict(st)
@@ -1368,7 +1479,7 @@ def base_step(c, sc, st, x):
         frac = (ph + (t_os + 1.0)) * (1.0 / TREM_SUB_OS)
         gldr = g_prev + frac * (g_cur - g_prev)
         if ENABLE_PRE:
-            st, pre_out = preamp_step(c, sc, st, u, gldr)
+            st, pre_out = preamp_step(c, sc, st, u, gldr, noise=noise)
         else:
             pre_out = u
         if ENABLE_PA:
@@ -1454,15 +1565,16 @@ ENABLE_SPK = True
 ENABLE_OS = True
 
 
-def sample_step(c, sc, st, x, do_trem):
+def sample_step(c, sc, st, x, do_trem, noise=False):
     """One base sample; tremolo refreshed when do_trem (every SUB_BASE)."""
     if ENABLE_TREM:
         st = jax.lax.cond(do_trem, lambda s: trem_update(c, sc, s),
                           lambda s: s, st)
-    return base_step(c, sc, st, x)
+    return base_step(c, sc, st, x, noise=noise)
 
 
-def render_cpu(consts: ChainConsts, controls, state_flat, audio):
+def render_cpu(consts: ChainConsts, controls, state_flat, audio,
+               noise=False):
     """Scan twin of the kernel: audio (T, S) f32 → (out (T, S), state').
 
     T must be a multiple of SUB_BASE. Runs the exact step functions the
@@ -1478,7 +1590,7 @@ def render_cpu(consts: ChainConsts, controls, state_flat, audio):
     def body(carry, xs):
         x, dt_ = xs
         st = dict(zip(names, carry))
-        st, y = sample_step(c, sc, st, x, dt_)
+        st, y = sample_step(c, sc, st, x, dt_, noise=noise)
         return tuple(st[n] for n in names), y
 
     carry0 = tuple(st[n] for n in names)
@@ -1492,8 +1604,11 @@ def render_cpu(consts: ChainConsts, controls, state_flat, audio):
 # ───────────────────────── Pallas kernel ─────────────────────────────────
 
 
-def _make_kernel(scalars, n_tiles, t_tile):
+def _make_kernel(scalars, n_tiles, t_tile, noise=False):
     sc = dict(scalars)
+    sc["nz_in_kernel"] = True   # preamp_step picks pltpu.bitcast
+    # noise-off programs never touch the (inert) noise state rows
+    _nz_skip = () if noise else ("nz_w", "nz_lcg")
 
     def kernel(*refs):
         arefs = refs[:len(ARRAY_NAMES)]
@@ -1524,14 +1639,16 @@ def _make_kernel(scalars, n_tiles, t_tile):
         # inside the subsampled trem_update block.
         def read_state():
             return {name: state_scratch[a:b]
-                    for name, (a, b) in _OFFSETS.items()}
+                    for name, (a, b) in _OFFSETS.items()
+                    if name not in _nz_skip}
 
         _TREM_OWNED = ("trem_z", "trem_di", "trem_vnl", "trem_env",
                        "gldr_cur", "gldr_upd_prev")
 
         def write_state(st, skip=(), only=None):
             for name, (a, b) in _OFFSETS.items():
-                if name in skip or (only is not None and name not in only):
+                if name in skip or name not in st \
+                        or (only is not None and name not in only):
                     continue
                 state_scratch[a:b] = st[name]
 
@@ -1556,7 +1673,7 @@ def _make_kernel(scalars, n_tiles, t_tile):
 
             st = read_state()
             x = audio_ref[pl.ds(i, 1), :]
-            st, y = base_step(c, sc, st, x)
+            st, y = base_step(c, sc, st, x, noise=noise)
             out_ref[pl.ds(i, 1), :] = y
             write_state(st, skip=_TREM_OWNED)
             return carry
@@ -1571,13 +1688,13 @@ def _make_kernel(scalars, n_tiles, t_tile):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _render_tpu_jit(base_sr, controls, state_flat, audio, interpret,
-                    t_tile):
+                    t_tile, noise):
     consts = pack_consts(base_sr)
     t, s = audio.shape
     n_tiles = t // t_tile
-    kernel = _make_kernel(consts.scalars, n_tiles, t_tile)
+    kernel = _make_kernel(consts.scalars, n_tiles, t_tile, noise=noise)
     arrays = [jnp.asarray(consts.arrays[n]) for n in ARRAY_NAMES]
 
     in_specs = (
@@ -1602,8 +1719,12 @@ def _render_tpu_jit(base_sr, controls, state_flat, audio, interpret,
 
 
 def render_tpu(base_sr, controls, state_flat, audio, interpret=False,
-               t_tile=T_TILE):
+               t_tile=T_TILE, noise=False):
     """Fused-kernel render: audio (T, S) f32, T a multiple of t_tile.
+
+    noise (static): compile the thermal-noise variant (see preamp_step);
+    the per-stream gain is the controls' noise row (make_controls
+    noise_level). Default False — the throughput path pays nothing.
 
     Runs under an x32 config context — jax_enable_x64 breaks Mosaic layout
     inference on this stack (see kernels/voice_bank.py).
@@ -1617,4 +1738,4 @@ def render_tpu(base_sr, controls, state_flat, audio, interpret=False,
         return _render_tpu_jit(float(base_sr), jnp.asarray(controls),
                                jnp.asarray(state_flat),
                                jnp.asarray(audio, jnp.float32),
-                               bool(interpret), int(t_tile))
+                               bool(interpret), int(t_tile), bool(noise))
