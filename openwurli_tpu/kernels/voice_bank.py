@@ -62,7 +62,11 @@ ROW_COSM1, ROW_SIN, ROW_PHASE, ROW_AMP, ROW_DECAYM1 = 0, 1, 2, 3, 4
 ROW_SCAL, ROW_DRIFT0, ROW_RNG0, ROW_NOISE = 5, 6, 7, 8
 # Event rows (onset/release schedule + damper constants)
 ROW_EVT, ROW_DRATE, ROW_DM1 = 9, 10, 11
-N_ROWS = 12
+# Per-mode 1 − decay_mult^8 (f64 at pack time): the fast group advances
+# env once per 8-sample group (env' = env − env·dm8m1) instead of 8
+# sequential per-sample updates — one rounding per group instead of 8.
+ROW_DM8M1 = 12
+N_ROWS = 13
 
 # ROW_EVT sublanes
 EVT_ONSET_F, EVT_RELEASE_F, EVT_RAMP, EVT_ONSET_I = 0, 1, 2, 3
@@ -80,20 +84,23 @@ def _lcg(st):
 
 
 # Trace-time knockout level for kernel cost attribution (tools/vb_probe
-# only — production paths leave this at 0). 1: skip the batched pickup
-# (stage passthrough). 2: also skip the per-sub-step mono staging writes
-# (mono folded into a register, written once per group). 3: also skip
-# the mode reduce + onset/noise (out = s + c; pure rotation/env floor).
+# only — production paths leave this at 0). Levels attribute the
+# FOLDED-COEFFICIENT group structure (round 5):
+# 1: skip the batched pickup (stage passthrough).
+# 2: also skip the per-sub-step mono staging writes (the reduced mode
+#    sum folds into a (1, V) register, written once per group).
+# 3: skip the mode-sum work entirely (out = broadcast of s0+c0 row 0;
+#    refresh + jitter + state advance + loop overhead floor).
 # 4: full pipeline but WITHOUT the onset/noise cached-row reads
-# (contrib = amplitude·s·env) — isolates the steady-row read cost.
+#    (mono = raw mode sum) — isolates the steady-row read cost.
 # 5: level 3 with every pl.when predicate pinned false (branches
-# present, never taken). 6: level 3 with the branches REMOVED from the
-# trace — separates Mosaic's branch-presence cost from taken-path cost.
-# 7: level 3 without the per-sub-step cross-sublane reduce (acc stays
-# (8, V)) — isolates the mode-reduce cost. 8: level 3 with the jitter
-# branch doing LCG+drift only (stale powers) — isolates _refresh_powers.
-# 9: level 3 without the per-sub-step env update (env advanced only at
-# group end) — isolates the serial env chain.
+#    present, never taken). 6: level 3 with the branches REMOVED from
+#    the trace — separates branch-presence cost from taken-path cost.
+# 7: level 3 + the 2-FMA per-sub-step mode products WITHOUT the
+#    cross-sublane reduce (acc stays (8, V)) — isolates the reduce.
+# 8: level 3 with the jitter branch doing LCG+drift only (stale
+#    powers) — isolates _refresh_powers.
+# 9: level 0 without the per-group env advance — isolates the env op.
 VB_KO = 0
 
 
@@ -174,6 +181,7 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
     phase_inc = params_ref[ROW_PHASE]
     amplitude = params_ref[ROW_AMP]
     decaym1 = params_ref[ROW_DECAYM1]  # 1 − decay_mult
+    dm8m1 = params_ref[ROW_DM8M1]      # 1 − decay_mult^8
     scal = params_ref[ROW_SCAL]
     onset_samps = scal[0:1, :]
     onset_inc = scal[1:2, :]
@@ -212,28 +220,53 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
                 delta * (1.0 + cosm1) + sin_inc)
 
     def _refresh_powers():
-        """Composed rotation powers R^j, j = 1..UNROLL, in deviation form.
+        """Composed rotation powers in spiral-folded OUTPUT form.
 
-        With z = (1+a) + i·b the one-step rotation, slice j-1 of
-        rota/rotb holds Re(z^j)−1 / Im(z^j) — EXACTLY the complex power
-        the old serial loop applied j times (composition of deviations:
-        A_{j+1} = A_j + a + A_j·a − B_j·b, B_{j+1} = B_j + b + B_j·a +
-        A_j·b), so every sub-step's state is reachable directly from the
-        group-start state with no serial dependency between sub-steps.
+        With z = (1+a) + i·b the one-step rotation, (A_j, B_j) =
+        Re(z^j)−1 / Im(z^j) is R^j in deviation form (composition of
+        deviations: A_{j+1} = A_j + a + A_j·a − B_j·b, B_{j+1} = B_j +
+        b + B_j·a + A_j·b) — every sub-step's state is reachable
+        directly from the group-start state with no serial dependency.
+
+        Slots 0..6 hold the folded output coefficients for sub-steps
+        j = 1..7: RA'_j = D_j·(1 + A_j), RB'_j = D_j·B_j with
+        D_j = amplitude·dm^j (dm = per-mode natural decay multiplier).
+        The group's output sample j is then
+            mono_j = Σ_m (env0·s0)·RA'_j + (env0·c0)·RB'_j
+        — the per-mode amplitude, natural decay power AND rotation are
+        ONE pre-folded coefficient, so the hot loop is 2 FMAs + the
+        mode reduce per sub-step (the serial-rotation kernel paid 5
+        ops + the reduce + a per-sub-step env update). Slot 7 holds
+        RAW R^8 for the group-end state advance — state arithmetic is
+        unchanged (deviation form, bit-identical state path). Events
+        programs additionally keep RAW R^1..R^7 in slots 8..14 for the
+        post-release legacy groups (per-sub-step damper env).
         Refreshed only when drift changes (every JITTER_SUBSAMPLE
-        samples) — ~3 amortized ops/sample buys the removal of the
-        8-deep serial rotation chain that set the old per-group floor.
+        samples).
         """
         a1, b1 = _rot_ab(drift_ref[:])
-        rota_ref[0:SUBLANES] = a1
-        rotb_ref[0:SUBLANES] = b1
+        dm = 1.0 - decaym1
+        dj = amplitude * dm
+        rota_ref[0:SUBLANES] = dj + dj * a1
+        rotb_ref[0:SUBLANES] = dj * b1
+        if events:
+            rota_ref[8 * SUBLANES:9 * SUBLANES] = a1
+            rotb_ref[8 * SUBLANES:9 * SUBLANES] = b1
         aj, bj = a1, b1
         for j in range(2, UNROLL + 1):
             a_new = aj + a1 + aj * a1 - bj * b1
             b_new = bj + b1 + bj * a1 + aj * b1
             aj, bj = a_new, b_new
-            rota_ref[(j - 1) * SUBLANES:j * SUBLANES] = aj
-            rotb_ref[(j - 1) * SUBLANES:j * SUBLANES] = bj
+            if j < UNROLL:
+                dj = dj * dm
+                rota_ref[(j - 1) * SUBLANES:j * SUBLANES] = dj + dj * aj
+                rotb_ref[(j - 1) * SUBLANES:j * SUBLANES] = dj * bj
+                if events:
+                    rota_ref[(7 + j) * SUBLANES:(8 + j) * SUBLANES] = aj
+                    rotb_ref[(7 + j) * SUBLANES:(8 + j) * SUBLANES] = bj
+            else:
+                rota_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES] = aj
+                rotb_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES] = bj
 
     @pl.when(tile == 0)
     def _init_rot():
@@ -404,95 +437,130 @@ def _kernel_body(t_tile, steady, events, min_release, n0i_ref, n0f_ref,
             pl.when(n_f0 < jnp.float32(steady[1]) if VB_KO != 5
                     else n_f0 < jnp.float32(-1.0))(_noise_group)
 
-        if VB_KO == 7:
-            acc = jnp.zeros((SUBLANES, s0.shape[-1]), jnp.float32)
-        elif VB_KO in (2, 3, 5, 6, 8, 9):
-            acc = jnp.zeros((1, s0.shape[-1]), jnp.float32)
-        else:
-            acc = None
-        for j in range(UNROLL):
-            n_f = n_f0 + jnp.float32(j)
+        env0 = env
+
+        def _advance_state():
+            # Group-end state advance by RAW R^UNROLL (slot 7): the
+            # state path is deviation-form and bit-identical to the
+            # serial-rotation kernel's — the spiral fold touches only
+            # OUTPUT arithmetic, never carried state.
+            a8 = rota_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES]
+            b8 = rotb_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES]
+            d_s = s0 * a8 + c0 * b8
+            d_c = c0 * a8 - s0 * b8
             if events:
-                # 3-phase progressive damper (reed.rs:191-216): release
-                # count t starts at 1 on the release sample; exponential
-                # ramp-in of the damping rate over ramp_f samples, then
-                # the constant per-mode multiplier (1−mult deviation).
-                # Branchless register form: lane masks select the phase
-                # (for never-released lanes t_rel is hugely negative and
-                # exp overflows to inf — discarded by the select), which
-                # keeps env in registers across the whole group instead
-                # of a ref round-trip per sub-step under a pl.when.
+                s_ref[:] = jnp.where(active0, s0 + d_s, s0)
+                c_ref[:] = jnp.where(active0, c0 + d_c, c0)
+            else:
+                s_ref[:] = s0 + d_s
+                c_ref[:] = c0 + d_c
+
+        if VB_KO in (3, 5, 6, 8):
+            # Floor: refresh + jitter + env + state advance only.
+            env_ref[:] = env0 - env0 * dm8m1
+            _advance_state()
+            acc = s0[0:1] + c0[0:1]
+            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
+                jnp.broadcast_to(acc, (UNROLL, acc.shape[-1]))
+            return n_f0 + jnp.float32(UNROLL)
+
+        def _fast_stage():
+            """Spiral-folded mode sums for the whole group (see
+            _refresh_powers): mono_j = Σ_m P·RA'_j + Q·RB'_j with
+            P = env0·s0, Q = env0·c0 (j = 0 uses D_0 = amplitude
+            directly), env advanced ONCE per group. Valid while no
+            damper can be active inside the group — always on the
+            plain path; groups strictly before min_release on the
+            events path. Pre-onset lanes are masked out of P/Q (their
+            c0 = 1 would otherwise leak RB' into the output) and their
+            env stays frozen."""
+            if events:
+                p_row = jnp.where(active0, env0 * s0, 0.0)
+                q_row = jnp.where(active0, env0 * c0, 0.0)
+            else:
+                p_row = env0 * s0
+                q_row = env0 * c0
+            acc = None
+            for j in range(UNROLL):
+                if j == 0:
+                    t = amplitude * p_row
+                else:
+                    t = (p_row * rota_ref[(j - 1) * SUBLANES:j * SUBLANES]
+                         + q_row * rotb_ref[(j - 1) * SUBLANES:
+                                            j * SUBLANES])
+                if VB_KO == 7:
+                    acc = t if acc is None else acc + t
+                elif VB_KO == 2:
+                    m = jnp.sum(t, axis=0, keepdims=True)
+                    acc = m if acc is None else acc + m
+                else:
+                    # Stage the group's rows in scratch (static sublane-
+                    # row stores) — a Python list + concat keeps all 8
+                    # values live on the Mosaic stack at once and blows
+                    # the 16 MB VMEM budget.
+                    stage_ref[j:j + 1, :] = jnp.sum(t, axis=0,
+                                                    keepdims=True)
+            if VB_KO != 9:
+                env_new = env0 - env0 * dm8m1
+                env_ref[:] = jnp.where(active0, env_new, env0) \
+                    if events else env_new
+            return acc
+
+        def _legacy_stage():
+            """Per-sub-step damper groups (events path at/after
+            min_release): the 3-phase progressive damper
+            (reed.rs:191-216) modulates env INSIDE the group, so the
+            output coefficients cannot be pre-folded — contribution =
+            amplitude·s_j·env_j with s_j from the RAW composed powers
+            (slots 8..14). Release count t starts at 1 on the release
+            sample; exponential ramp-in of the damping rate over
+            ramp_f samples, then the constant per-mode multiplier
+            (1−mult deviation). Branchless register form: lane masks
+            select the phase (never-released lanes' exp overflows to
+            inf — discarded by the select)."""
+            env = env0
+            for j in range(UNROLL):
+                n_f = n_f0 + jnp.float32(j)
                 t_rel = n_f - release_f + 1.0
                 in_ramp = jnp.logical_and(t_rel >= 1.0, t_rel <= ramp_f)
                 post = t_rel > ramp_f
                 inst = drate * (t_rel / jnp.maximum(ramp_f, 1.0))
                 env = jnp.where(in_ramp, env * jnp.exp(-inst), env)
                 env = jnp.where(post, env - env * dm1, env)
-
-            # Quadrature state at sub-step j, directly from the group-
-            # start state via the composed power R^j: s_j = s0 +
-            # (s0·A_j + c0·B_j) — deviation form, so the f32 rounding
-            # enters as (state + small) exactly like the old serial
-            # form, but the UNROLL sub-steps have no dependency on each
-            # other. Pre-onset voices (events) stay frozen at their
-            # note-on state: onsets are quantized to the 16-sample
-            # jitter grid and groups are 8 samples, so `active0` is
-            # constant across the group and masking the rotation TERM
-            # (not the state) keeps frozen lanes bit-identical.
-            if j == 0:
-                sj = s0
-            else:
-                aj = rota_ref[(j - 1) * SUBLANES:j * SUBLANES]
-                bj = rotb_ref[(j - 1) * SUBLANES:j * SUBLANES]
-                rot = s0 * aj + c0 * bj
-                if events:
-                    rot = jnp.where(active0, rot, 0.0)
-                sj = s0 + rot
-
-            if VB_KO < 3 or VB_KO == 4:
-                # The onset ramp factors out of the mode sum ((1, V)
-                # broadcast), so the loop stages the RAW mode sum and
-                # the batched pickup applies onset8/noise8 afterwards.
-                mraw = jnp.sum(amplitude * sj * env, axis=0,
-                               keepdims=True)  # (1, V)
-                if VB_KO == 2:
-                    acc = acc + mraw
+                # Quadrature state at sub-step j directly from the
+                # group-start state via RAW R^j (deviation form).
+                # Pre-onset lanes stay frozen: onsets are quantized to
+                # the 16-sample jitter grid and groups are 8 samples,
+                # so active0 is constant across the group and masking
+                # the rotation TERM keeps frozen lanes bit-identical.
+                if j == 0:
+                    sj = s0
                 else:
-                    # Stage the group's rows in scratch (static sublane-
-                    # row stores) — a Python list + concat keeps all 8
-                    # values live on the Mosaic stack at once and blows
-                    # the 16 MB VMEM budget.
-                    stage_ref[j:j + 1, :] = mraw
-            elif VB_KO == 7:
-                acc = acc + sj
-            elif VB_KO >= 3:
-                acc = acc + jnp.sum(sj, axis=0, keepdims=True)
-
-            if events:
+                    aj = rota_ref[(7 + j) * SUBLANES:(8 + j) * SUBLANES]
+                    bj = rotb_ref[(7 + j) * SUBLANES:(8 + j) * SUBLANES]
+                    rot = s0 * aj + c0 * bj
+                    rot = jnp.where(active0, rot, 0.0)
+                    sj = s0 + rot
+                stage_ref[j:j + 1, :] = jnp.sum(amplitude * sj * env,
+                                                axis=0, keepdims=True)
                 env = jnp.where(active0, env - env * decaym1, env)
-            elif VB_KO != 9:
-                env = env - env * decaym1
+            env_ref[:] = env
 
-        # Group-end state advance by R^UNROLL (c only needs updating
-        # here, not per sub-step — the mode sum never reads it).
-        a8 = rota_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES]
-        b8 = rotb_ref[(UNROLL - 1) * SUBLANES:UNROLL * SUBLANES]
-        d_s = s0 * a8 + c0 * b8
-        d_c = c0 * a8 - s0 * b8
-        if events:
-            s_ref[:] = jnp.where(active0, s0 + d_s, s0)
-            c_ref[:] = jnp.where(active0, c0 + d_c, c0)
+        if not events or min_release >= 0.5 * NEVER:
+            # Plain path, or an events program whose schedule can never
+            # release (static) — the legacy branch stays OUT of the
+            # trace entirely.
+            acc = _fast_stage()
         else:
-            s_ref[:] = s0 + d_s
-            c_ref[:] = c0 + d_c
-        env_ref[:] = env
+            min_rel_f = jnp.float32(min_release)
+            pl.when(n_f0 + jnp.float32(UNROLL) <= min_rel_f)(_fast_stage)
+            pl.when(n_f0 + jnp.float32(UNROLL) > min_rel_f)(_legacy_stage)
+            acc = None
+
+        _advance_state()
 
         if VB_KO == 7:
             out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = acc
-            return n_f0 + jnp.float32(UNROLL)
-        if VB_KO in (3, 5, 6, 8, 9):
-            out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
-                jnp.broadcast_to(acc, (UNROLL, acc.shape[-1]))
             return n_f0 + jnp.float32(UNROLL)
         if VB_KO == 2:
             out_ref[pl.ds(gi * jnp.int32(UNROLL), UNROLL), :] = \
@@ -740,9 +808,13 @@ def _render_voice_bank_jit(params, state, n0i, n0f, num_samples: int,
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise + pickup q
             pltpu.VMEM((SUBLANES, lanes), jnp.int32),    # LCG states
             pltpu.SMEM((1, 1), jnp.float32),             # f32 sample counter
-            # Composed rotation powers R^1..R^UNROLL (see _refresh_powers)
-            pltpu.VMEM((UNROLL * SUBLANES, lanes), jnp.float32),  # A_j
-            pltpu.VMEM((UNROLL * SUBLANES, lanes), jnp.float32),  # B_j
+            # Composed rotation powers (see _refresh_powers): folded
+            # output coefficients j=1..7 + raw R^8; events programs add
+            # raw R^1..R^7 for the post-release legacy groups.
+            pltpu.VMEM(((15 if events else UNROLL) * SUBLANES, lanes),
+                       jnp.float32),                     # RA' / A_j
+            pltpu.VMEM(((15 if events else UNROLL) * SUBLANES, lanes),
+                       jnp.float32),                     # RB' / B_j
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # pickup group stage
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # onset8 group cache
             pltpu.VMEM((SUBLANES, lanes), jnp.float32),  # noise8 group cache
@@ -897,5 +969,7 @@ def _make_kernel_params_inner(m, v, n_active, sample_rate, mlp_enabled,
         evt,
         drate_rows,
         dm1_rows,
+        pad_modes(1.0 - np.asarray(rp.decay_mult,
+                                   dtype=np.float64) ** 8),
     ], axis=0)
     return jnp.asarray(params), n_active
