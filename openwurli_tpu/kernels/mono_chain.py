@@ -333,11 +333,12 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
     A["pa_gp"] = _gp_pack(
         [b[4] for b in nl_pa.bjts]).astype(f32)  # (8, N_PARAMS)
     A["eye16"] = np.eye(16, dtype=f32)
-    # Static row masks for the reduced-pivot GE (Pallas kernels cannot
-    # close over constants, so they ride in as (16, n_act) inputs).
-    elim_m, upper_m = _ge_masks(PA_ACTIVE, 16)
-    A["pa_elim_mask"] = np.concatenate(elim_m, axis=1).astype(f32)
-    A["pa_upper_mask"] = np.concatenate(upper_m, axis=1).astype(f32)
+    # Compact split of K for the reduced-pivot GE: active rows (in
+    # PA_ACTIVE order) build the 10-tall elimination columns, relegated
+    # rows build the C block applied once after backsub.
+    A["pa_K_act"] = k_pa[list(PA_ACTIVE), :].astype(f32)
+    A["pa_K_rel"] = k_pa[list(PA_RELEG), :].astype(f32)
+    A["pa_eye_act"] = np.eye(len(PA_ACTIVE), dtype=f32)
     S.update(
         pa_vdc_out=float(v_dc_pa[pa.out_idx]), pa_out_idx=int(pa.out_idx),
         pa_headroom=pamod.HEADROOM, pa_rail_bias=pamod.RAIL_DC_BIAS,
@@ -438,8 +439,8 @@ def _pack_consts_impl(base_sr: float) -> ChainConsts:
 
 ARRAY_NAMES = ("pre_SA", "pre_SA_p", "pre_cols", "pre_cols_hi",
                "pre_cols_lo", "pre_NS", "pre_NP", "pa_P", "pa_K",
-               "pa_cols", "pa_nvcols", "pa_gp", "eye16", "pa_elim_mask",
-               "pa_upper_mask", "trem_P", "trem_K", "trem_cols",
+               "pa_cols", "pa_nvcols", "pa_gp", "eye16", "pa_K_act",
+               "pa_K_rel", "pa_eye_act", "trem_P", "trem_K", "trem_cols",
                "trem_gp", "eye4")
 
 
@@ -696,57 +697,61 @@ def _ge_solve_flat(cols, rhs, m):
     return _ge_factor(cols, rhs, m)[0]
 
 
-def _ge_masks(order, n_rows):
-    """Static elimination/backsub row masks for an out-of-order pivot
-    sequence over an n_rows-tall system (non-pivoted rows ride along as
-    permanently-'below' rows — see PA_ACTIVE)."""
-    elim, upper = [], []
-    done = set()
-    for p in order:
-        done.add(p)
-        elim.append(np.array([[1.0 if r not in done else 0.0]
-                              for r in range(n_rows)], np.float32))
-        upper.append(np.array([[1.0 if r in done - {p} else 0.0]
-                               for r in range(n_rows)], np.float32))
-    return elim, upper
+def _row_runs(rows):
+    """Maximal contiguous [start, stop) runs of a sorted row index list."""
+    runs = []
+    for r in rows:
+        if runs and runs[-1][1] == r:
+            runs[-1][1] = r + 1
+        else:
+            runs.append([r, r + 1])
+    return [tuple(x) for x in runs]
 
 
-def _ge_solve_ports(cols, rhs, order, releg, elim_mask, upper_mask):
-    """Per-stream solve of [[A,0],[C,I]] dv = rhs where only `order`'s
-    ports have real (full-height) columns and the `releg` ports'
-    columns are identity. cols = len(order) (n,S) columns IN PIVOT
-    ORDER. Exact block LU: forward-eliminate with pivots on the order'd
-    rows (relegated rows ride below for every pivot), backsubstitute
-    over the pivoted rows only; dv for relegated rows = the forward-
-    eliminated RHS rows (dv_r = f_r - C dv_a falls out for free).
-    Flat-array layout as _ge_factor. elim_mask/upper_mask are the
-    (n, n_act) _ge_masks constants (passed in: Pallas kernels cannot
-    close over array constants)."""
-    n = rhs.shape[0]
+def _gather_rows(x, rows):
+    """(n, S) → (len(rows), S) via contiguous-run slices (trace-time
+    plan; PA_ACTIVE/PA_RELEG each gather in 3 slices)."""
+    runs = _row_runs(rows)
+    if len(runs) == 1:
+        a, b = runs[0]
+        return x[a:b]
+    return jnp.concatenate([x[a:b] for a, b in runs], axis=0)
+
+
+def _scatter_rows(x_act, x_rel, order, releg, n):
+    """Interleave (n_act, S) + (n_rel, S) back to natural row order,
+    again as contiguous-run slices."""
+    pos_a = {r: i for i, r in enumerate(order)}
+    pos_r = {r: i for i, r in enumerate(releg)}
+    parts, r = [], 0
+    while r < n:
+        src, pos = (x_act, pos_a) if r in pos_a else (x_rel, pos_r)
+        r0, i0 = r, pos[r]
+        while r < n and r in pos and pos[r] == i0 + (r - r0):
+            r += 1
+        parts.append(src[i0:i0 + (r - r0)])
+    return jnp.concatenate(parts, axis=0)
+
+
+def _ge_solve_ports(cols_act, cols_rel, f_act, f_rel, order, releg):
+    """Per-stream solve of the reduced block system [[A,0],[C,I]] dv = f:
+    A (n_act×n_act, rows AND columns in `order`'s port order) carries
+    the pivoted ports, C (n_rel×n_act) the relegated rows. The block-LU
+    identity means the relegated rows never participate in elimination —
+    dv_rel = f_rel − C·dv_act with the ORIGINAL C entries — so the GE
+    runs on n_act-tall flats plus one final (n_rel×n_act) apply: ~35 %
+    less VPU data than the round-4 masked form that carried all 16 rows
+    (and the rhs) through every elimination and backsub step. The active
+    block's arithmetic is op-for-op identical to the masked form (same
+    pivot sequence), so dv at the pivoted ports is bit-identical; the
+    relegated dv differs only in f32 summation order. Returns dv in
+    natural row order."""
     n_act = len(order)
-    s_lanes = rhs.shape[-1]
-    flat = jnp.concatenate(cols + [rhs], axis=1)
-    invs, u_cols = [], []
-    for k, p in enumerate(order):
-        pivcol = flat[:, 0:s_lanes]
-        piv = pivcol[p:p + 1, :]
-        inv = 1.0 / jnp.where(jnp.abs(piv) > 1e-30, piv, 1e-30)
-        invs.append(inv)
-        u_cols.append(pivcol)
-        below = _col(elim_mask, k) * pivcol * inv
-        rest = flat[:, s_lanes:]
-        flat = rest - _rep(below, n_act - k) * rest[p:p + 1, :]
-    acc = flat
-    xs = [None] * n
-    for k in range(n_act - 1, -1, -1):
-        p = order[k]
-        xk = acc[p:p + 1, :] * invs[k]
-        xs[p] = xk
-        if k:
-            acc = acc - _col(upper_mask, k) * u_cols[k] * xk
-    for r in releg:
-        xs[r] = acc[r:r + 1, :]
-    return jnp.concatenate(xs, axis=0)
+    x_act = _ge_solve_flat(cols_act, f_act, n_act)
+    acc = f_rel
+    for j in range(n_act):
+        acc = acc - cols_rel[j] * x_act[j:j + 1, :]
+    return _scatter_rows(x_act, acc, order, releg, n_act + len(releg))
 
 
 def _two_sum(a, b):
@@ -1375,20 +1380,33 @@ def pa_step(c, sc, st, x, rail_sag):
         if fn0 is None:
             fn0 = jnp.max(jnp.abs(f), axis=0, keepdims=True)
         if k_it in PA_REFRESH_ITERS or factors is None:
-            ports = PA_ACTIVE if PA_REDUCED else tuple(range(16))
-            cols = []
-            for j in ports:
-                b = j % 8
-                g1 = (gbb if j < 8 else gbc)[b:b + 1, :]
-                g2 = (gcb if j < 8 else gcc)[b:b + 1, :]
-                cols.append(_col(c["eye16"], j)
-                            - _col(K, b) * g1 - _col(K, b + 8) * g2)
             if PA_REDUCED:
-                dv_raw = _ge_solve_ports(cols, f, PA_ACTIVE, PA_RELEG,
-                                         c["pa_elim_mask"],
-                                         c["pa_upper_mask"])
+                # Jacobian columns assembled directly in compact form:
+                # active rows (K_act) feed the 10-tall elimination, the
+                # relegated rows (K_rel) only the final C·dv_act apply.
+                # eye16's relegated entries for active columns are 0.
+                cols_a, cols_r = [], []
+                for idx, j in enumerate(PA_ACTIVE):
+                    b = j % 8
+                    g1 = (gbb if j < 8 else gbc)[b:b + 1, :]
+                    g2 = (gcb if j < 8 else gcc)[b:b + 1, :]
+                    cols_a.append(_col(c["pa_eye_act"], idx)
+                                  - _col(c["pa_K_act"], b) * g1
+                                  - _col(c["pa_K_act"], b + 8) * g2)
+                    cols_r.append(-_col(c["pa_K_rel"], b) * g1
+                                  - _col(c["pa_K_rel"], b + 8) * g2)
+                dv_raw = _ge_solve_ports(
+                    cols_a, cols_r, _gather_rows(f, PA_ACTIVE),
+                    _gather_rows(f, PA_RELEG), PA_ACTIVE, PA_RELEG)
                 factors = None
             else:
+                cols = []
+                for j in range(16):
+                    b = j % 8
+                    g1 = (gbb if j < 8 else gbc)[b:b + 1, :]
+                    g2 = (gcb if j < 8 else gcc)[b:b + 1, :]
+                    cols.append(_col(c["eye16"], j)
+                                - _col(K, b) * g1 - _col(K, b + 8) * g2)
                 dv_raw, factors = _ge_factor(cols, f, 16)
         else:
             dv_raw = _ge_resolve(factors, f, 16)

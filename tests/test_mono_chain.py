@@ -43,6 +43,35 @@ def test_ge_solve_flat():
     assert np.abs(x.T - x_ref).max() < 1e-5
 
 
+def test_ge_solve_ports_block_identity():
+    """Compact reduced-pivot solve == dense solve of [[A,0],[C,I]]:
+    random unit-dominant systems with the PA's active/relegated split."""
+    rng = np.random.default_rng(1)
+    s, n = 7, 16
+    order, releg = mc.PA_ACTIVE, mc.PA_RELEG
+    n_act = len(order)
+    a_full = np.zeros((s, n, n))
+    a_full[:, :, :] = np.eye(n)[None]
+    # active columns get dense entries everywhere; relegated columns
+    # stay identity (the block structure the reduced NR exploits)
+    for j in order:
+        a_full[:, :, j] = 0.15 * rng.standard_normal((s, n))
+        a_full[:, j, j] += 1.0
+    b = rng.standard_normal((s, n))
+    x_ref = np.linalg.solve(a_full, b[..., None])[..., 0]
+
+    cols_a = [jnp.asarray(a_full[:, list(order), j].T, jnp.float32)
+              for j in order]
+    cols_r = [jnp.asarray(a_full[:, list(releg), j].T, jnp.float32)
+              for j in order]
+    f_act = jnp.asarray(b[:, list(order)].T, jnp.float32)
+    f_rel = jnp.asarray(b[:, list(releg)].T, jnp.float32)
+    x = np.asarray(mc._ge_solve_ports(cols_a, cols_r, f_act, f_rel,
+                                      order, releg))
+    assert x.shape == (n, s)
+    assert np.abs(x.T - x_ref).max() < 1e-4
+
+
 def test_preamp_stage_parity():
     """f32 twin-preamp step vs dk_preamp.step over a tremolo-swept render.
 
